@@ -1,0 +1,920 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each public query here is exposed through ``__spark_entry__.py``. The
+correctness protocol: the driver runs the Spark implementation and the
+paired ANSI-SQL oracle on the same parquet tables and compares row counts,
+schemas and value hashes. Queries whose semantics are not SQL-expressible
+(the DP tagger and everything downstream of it) have no SQL twin and are
+covered instead by the pytest oracle chain (Spark tagger == Python oracle ==
+compiled C++ reference, see tests/).
+
+The transcripts table required by BASELINE.json's input_hint does not exist
+in the test data, so it is DERIVED deterministically from ``documents`` with
+pure relational expressions — identically expressible in Spark and DuckDB —
+and the KG dictionary over the documents vocabulary is an inline constant
+rendered into SQL VALUES from the same Python list (single source of truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .canonicalize import connected_components
+from .dictionary import DictionarySpec, build_trie
+from .tagger import tag_transcripts
+from .triples import dict_surfaces_df, link_mentions
+
+# ---------------------------------------------------------------------------
+# inline KG dictionary over the documents vocabulary (single source of truth)
+# ---------------------------------------------------------------------------
+
+KG_DICT_CORE: list[tuple[str, str]] = [
+    ("Operator", "hash join"),
+    ("Operator", "table scan"),
+    ("Operator", "sort merge"),
+    ("Operator", "window agg"),
+    ("Operator", "merge batch"),
+    ("Operator", "filter"),
+    ("Object", "big table"),
+    ("Object", "small table"),
+    ("Object", "vector"),
+    ("Object,Operator", "stream"),
+    ("Metric", "key value"),
+]
+
+KG_DICT_FULL: list[str] = ["slow merge", "fast scan", "query batch", "window"]
+KG_STOPWORDS: list[str] = ["the", "a"]
+
+TURNS_PER_CONV = 8
+
+
+def kg_dict_spec() -> DictionarySpec:
+    return DictionarySpec(
+        core=list(KG_DICT_CORE), full=list(KG_DICT_FULL),
+        stopwords=list(KG_STOPWORDS),
+    )
+
+
+def _dict_values_sql() -> str:
+    """Render KG_DICT_CORE as a SQL VALUES relation d(entity_type, surface)."""
+    rows = ", ".join(f"('{t}', '{s}')" for t, s in KG_DICT_CORE)
+    return f"(VALUES {rows}) AS d(entity_type, surface)"
+
+
+# ---------------------------------------------------------------------------
+# transcripts derivation (documents -> input_hint shape)
+# ---------------------------------------------------------------------------
+
+TRANSCRIPTS_CTE = f"""
+transcripts AS (
+    SELECT
+        concat('conv-', lpad(cast(cast(floor(doc_id / {TURNS_PER_CONV}) AS bigint) AS varchar), 6, '0')) AS conv_id,
+        cast(doc_id % {TURNS_PER_CONV} AS integer) AS turn_idx,
+        CASE cast(doc_id % 3 AS integer) WHEN 0 THEN 'user'
+             WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+        text,
+        CASE WHEN cast(doc_id % 3 AS integer) = 2 THEN source END AS tool
+    FROM documents
+)
+"""
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    conv = F.concat(
+        F.lit("conv-"),
+        F.lpad(F.floor(F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"), 6, "0"),
+    )
+    mod3 = (F.col("doc_id") % 3).cast("int")
+    return d.select(
+        conv.alias("conv_id"),
+        (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+        F.when(mod3 == 0, "user").when(mod3 == 1, "assistant")
+        .otherwise("tool").alias("role"),
+        F.col("text"),
+        F.when(mod3 == 2, F.col("source")).alias("tool"),
+    )
+
+
+def q_kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_df(spark, sf_dir)
+
+
+SQL_KG_TRANSCRIPTS = f"WITH {TRANSCRIPTS_CTE} SELECT * FROM transcripts"
+
+
+def q_kg_dict_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(KG_DICT_CORE, "entity_type string, surface string")
+
+
+SQL_KG_DICT_CORE = f"SELECT entity_type, surface FROM {_dict_values_sql()}"
+
+
+# ---------------------------------------------------------------------------
+# exact-match mention detection (relational; the M11 phrase-matcher analogue)
+# ---------------------------------------------------------------------------
+
+# tokens CTE: 0-based positions via zipped unnest (DuckDB-portable)
+_TOKENS_CTE = """
+toks AS (
+    SELECT conv_id, turn_idx,
+           unnest(string_split(text, ' ')) AS token,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM transcripts
+)
+"""
+
+_EXACT_MENTIONS_CTE = f"""
+{_TOKENS_CTE},
+bigrams AS (
+    SELECT conv_id, turn_idx, pos,
+           token,
+           lead(token) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS next_token
+    FROM toks
+),
+mentions AS (
+    SELECT b.conv_id, b.turn_idx,
+           cast(b.pos AS integer) AS begin_tok,
+           cast(b.pos + 1 AS integer) AS end_tok,
+           b.token AS surface, d.entity_type
+    FROM bigrams b JOIN {_dict_values_sql()}
+      ON d.surface = b.token
+    UNION ALL
+    SELECT b.conv_id, b.turn_idx,
+           cast(b.pos AS integer) AS begin_tok,
+           cast(b.pos + 2 AS integer) AS end_tok,
+           concat(b.token, ' ', b.next_token) AS surface, d.entity_type
+    FROM bigrams b JOIN {_dict_values_sql()}
+      ON b.next_token IS NOT NULL
+     AND d.surface = concat(b.token, ' ', b.next_token)
+)
+"""
+
+
+def exact_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All exact unigram/bigram dictionary occurrences (overlaps allowed).
+
+    Pure relational: posexplode -> window lead -> broadcast join with the
+    dictionary. No UDF; whole-stage codegen end to end.
+    """
+    t = transcripts_df(spark, sf_dir)
+    toks = t.select(
+        "conv_id", "turn_idx",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
+    big = toks.withColumn("next_token", F.lead("token").over(w))
+    dict_df = F.broadcast(
+        exact_dict_df(spark)
+    )
+    uni = big.join(dict_df, big["token"] == dict_df["surface"]).select(
+        "conv_id", "turn_idx",
+        F.col("pos").cast("int").alias("begin_tok"),
+        (F.col("pos") + 1).cast("int").alias("end_tok"),
+        "surface", "entity_type",
+    )
+    bigram_surface = F.concat_ws(" ", F.col("token"), F.col("next_token"))
+    bi = big.filter(F.col("next_token").isNotNull()).join(
+        dict_df, bigram_surface == dict_df["surface"]
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("pos").cast("int").alias("begin_tok"),
+        (F.col("pos") + 2).cast("int").alias("end_tok"),
+        "surface", "entity_type",
+    )
+    return uni.unionByName(bi)
+
+
+def exact_dict_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(t, s) for t, s in KG_DICT_CORE], "entity_type string, surface string"
+    )
+
+
+def q_kg_mentions_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_mentions_df(spark, sf_dir)
+
+
+SQL_KG_MENTIONS_EXACT = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE}
+SELECT conv_id, turn_idx, begin_tok, end_tok, surface, entity_type
+FROM mentions
+"""
+
+
+def q_kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention counts per (surface, single entity type) — type SET exploded."""
+    m = exact_mentions_df(spark, sf_dir)
+    return (
+        m.withColumn("entity_type", F.explode(F.split("entity_type", ",")))
+        .groupBy("surface", "entity_type")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+SQL_KG_ENTITY_LINK = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE}
+SELECT surface, unnest(string_split(entity_type, ',')) AS entity_type,
+       count(*) AS n_mentions
+FROM mentions
+GROUP BY surface, entity_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonicalization: CC over the shared-token graph of mentioned surfaces
+# ---------------------------------------------------------------------------
+
+_CC_CTES = f"""
+nodes AS (SELECT DISTINCT surface FROM mentions),
+surface_tokens AS (
+    SELECT surface, unnest(string_split(surface, ' ')) AS tok FROM nodes
+),
+edges AS (
+    SELECT a.surface AS src, b.surface AS dst
+    FROM surface_tokens a JOIN surface_tokens b USING (tok)
+),
+reach AS (
+    SELECT surface AS node, surface AS comp FROM nodes
+    UNION
+    SELECT e.dst AS node, r.comp
+    FROM reach r JOIN edges e ON e.src = r.node
+),
+components AS (
+    SELECT node AS surface, min(comp) AS component FROM reach GROUP BY node
+)
+"""
+
+
+def surface_components_df(spark: SparkSession, mentions: DataFrame) -> DataFrame:
+    """(surface, component): connected components over surfaces that share a
+    token (e.g. 'big table' ~ 'small table' ~ 'table scan'). The mention
+    stream supplies the node set; component id = min surface."""
+    nodes = mentions.select("surface").distinct()
+    st = nodes.select(
+        "surface", F.explode(F.split("surface", " ")).alias("tok")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    edges = a.join(b, "tok").select(
+        F.col("a.surface").alias("src"), F.col("b.surface").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("surface"), F.col("comp").alias("component")
+    )
+
+
+def q_kg_canonicalize_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return surface_components_df(spark, exact_mentions_df(spark, sf_dir))
+
+
+SQL_KG_CANONICALIZE_CC = f"""
+WITH RECURSIVE {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE}, {_CC_CTES}
+SELECT surface, component FROM components
+"""
+
+
+def q_kg_triples_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj, conv_id, turn_idx) from the exact-match path:
+    subj = 'ent:' || component; has_type per type; mentioned_in per mention."""
+    m = exact_mentions_df(spark, sf_dir)
+    comp = F.broadcast(surface_components_df(spark, m))
+    linked = m.join(comp, "surface").withColumn(
+        "subj", F.concat(F.lit("ent:"), F.col("component"))
+    )
+    has_type = linked.select(
+        "subj", F.lit("has_type").alias("pred"),
+        F.explode(F.split("entity_type", ",")).alias("obj"),
+        "conv_id", "turn_idx",
+    )
+    mentioned = linked.select(
+        "subj", F.lit("mentioned_in").alias("pred"),
+        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).alias("obj"),
+        "conv_id", "turn_idx",
+    )
+    return has_type.unionByName(mentioned)
+
+
+SQL_KG_TRIPLES_EXACT = f"""
+WITH RECURSIVE {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE}, {_CC_CTES},
+linked AS (
+    SELECT m.*, concat('ent:', c.component) AS subj
+    FROM mentions m JOIN components c USING (surface)
+)
+SELECT subj, 'has_type' AS pred,
+       unnest(string_split(entity_type, ',')) AS obj, conv_id, turn_idx
+FROM linked
+UNION ALL
+SELECT subj, 'mentioned_in' AS pred,
+       concat(conv_id, '#', cast(turn_idx AS varchar)) AS obj,
+       conv_id, turn_idx
+FROM linked
+"""
+
+
+# ---------------------------------------------------------------------------
+# evaluation join (A1/A2): typed exact-span P/R on a deterministic split
+# ---------------------------------------------------------------------------
+
+
+def q_kg_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pred = all exact mentions; gold = deterministic subset (begin_tok%3!=0)
+    -> per-type counts + smoothed P/R/F1 (model_partial_ner/utils.py:119-180
+    semantics), rounded for cross-engine comparison."""
+    from .evaluate import per_type_prf
+
+    pred = exact_mentions_df(spark, sf_dir)
+    gold = pred.filter(F.col("begin_tok") % 3 != 0)
+    out = per_type_prf(pred, gold)
+    return out.select(
+        "entity_type", "gold_cnt", "guess_cnt", "overlap_cnt",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+SQL_KG_EVAL_PR = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE},
+pred AS (SELECT DISTINCT conv_id, turn_idx, begin_tok, end_tok, entity_type FROM mentions),
+gold AS (SELECT * FROM pred WHERE begin_tok % 3 <> 0),
+guess_c AS (SELECT entity_type, count(*) AS guess_cnt FROM pred GROUP BY entity_type),
+gold_c AS (SELECT entity_type, count(*) AS gold_cnt FROM gold GROUP BY entity_type),
+over_c AS (
+    SELECT p.entity_type, count(*) AS overlap_cnt
+    FROM pred p JOIN gold g USING (conv_id, turn_idx, begin_tok, end_tok, entity_type)
+    GROUP BY p.entity_type
+),
+j AS (
+    SELECT coalesce(gc.entity_type, uc.entity_type, oc.entity_type) AS entity_type,
+           coalesce(gold_cnt, 0) AS gold_cnt,
+           coalesce(guess_cnt, 0) AS guess_cnt,
+           coalesce(overlap_cnt, 0) AS overlap_cnt
+    FROM gold_c gc
+    FULL JOIN guess_c uc ON gc.entity_type = uc.entity_type
+    FULL JOIN over_c oc ON coalesce(gc.entity_type, uc.entity_type) = oc.entity_type
+)
+SELECT entity_type, gold_cnt, guess_cnt, overlap_cnt,
+       round(overlap_cnt / (guess_cnt + 0.000001), 6) AS precision,
+       round(overlap_cnt / (gold_cnt + 0.000001), 6) AS recall,
+       round(2 * (overlap_cnt / (guess_cnt + 0.000001)) * (overlap_cnt / (gold_cnt + 0.000001))
+             / ((overlap_cnt / (guess_cnt + 0.000001)) + (overlap_cnt / (gold_cnt + 0.000001)) + 0.000001), 6) AS f1
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# invariant check: per-turn text equality (input_hint)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_turn_text_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return t.select(
+        F.count("*").alias("total_turns"),
+        F.sum(
+            F.when(
+                F.array_join(F.split("text", " "), " ") != F.col("text"), 1
+            ).otherwise(0)
+        ).alias("mismatches"),
+    )
+
+
+SQL_KG_TURN_TEXT_EQUALITY = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT count(*) AS total_turns,
+       sum(CASE WHEN array_to_string(string_split(text, ' '), ' ') <> text
+                THEN 1 ELSE 0 END) AS mismatches
+FROM transcripts
+"""
+
+
+# ---------------------------------------------------------------------------
+# DP tagger + full KG over the derived transcripts (non-SQL-expressible:
+# covered by the pytest oracle chain; driver records rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_tag_mentions_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trie = build_trie(kg_dict_spec())
+    return tag_transcripts(transcripts_df(spark, sf_dir), trie)
+
+
+def q_kg_triples_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .triples import build_kg
+
+    t = transcripts_df(spark, sf_dir)
+    return build_kg(spark, t, kg_dict_spec())["triples"]
+
+
+def q_kg_linked_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trie = build_trie(kg_dict_spec())
+    mentions = tag_transcripts(transcripts_df(spark, sf_dir), trie)
+    dict_df = dict_surfaces_df(spark, kg_dict_spec())
+    return link_mentions(mentions, dict_df)
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (SURVEY.md §2.6): joins, window, agg, sort/limit
+# ---------------------------------------------------------------------------
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_REL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "c_custkey",
+                F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+SQL_REL_TOP_CUSTOMERS_WINDOW = """
+SELECT c_mktsegment, rnk, c_custkey, round(c_acctbal, 2) AS acctbal
+FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS rnk
+    FROM customer
+) WHERE rnk <= 3
+"""
+
+
+def q_rel_order_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_REL_ORDER_REVENUE_JOIN = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3,
+                               threshold=0.5)
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, pos, concat_ws(' ', tok,
+           lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(n / (sa.sz + sb.sz - n), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.id = id_a
+JOIN sz sb ON sb.id = id_b
+WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                             num_hashes=16, band_size=4, n=3)
+
+
+SQL_DEDUP_MINHASH_LSH = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, pos, concat_ws(' ', tok,
+           lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+salted AS (
+    SELECT id, h, cast(('0x' || substring(md5(concat(cast(h AS varchar), ':', shingle)), 1, 8)) AS bigint) AS hv
+    FROM sh, unnest(range(0, 16)) AS u(h)
+),
+sig AS (SELECT id, h, min(hv) AS minhash FROM salted GROUP BY id, h),
+banded AS (
+    -- floor, not cast: DuckDB's double->int cast ROUNDS, Spark's truncates
+    SELECT id, cast(floor(h / 4) AS integer) AS band,
+           md5(string_agg(cast(minhash AS varchar), ',' ORDER BY h)) AS bucket
+    FROM sig GROUP BY id, cast(floor(h / 4) AS integer)
+)
+SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_bands
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+GROUP BY x.id, y.id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH toks AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+th AS (
+    SELECT id, cast(('0x' || substring(md5(token), 1, 8)) AS bigint) AS hv
+    FROM toks
+),
+votes AS (
+    SELECT id, b, sum((cast(floor(hv / pow(2, b)) AS bigint) % 2) * 2 - 1) AS v
+    FROM th, unnest(range(0, 32)) AS u(b)
+    GROUP BY id, b
+)
+SELECT id, cast(sum(CASE WHEN v > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS bigint) AS simhash
+FROM votes GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_COSINE_PAIRS_CTE = """
+pairs AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           cast(unnest(q.embedding) AS double) AS a,
+           cast(unnest(e.embedding) AS double) AS b
+    FROM embeddings q, embeddings e
+    WHERE q.vec_id < {maxq} AND q.vec_id <> e.vec_id
+),
+scored AS (
+    SELECT query_id, vec_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cosine
+    FROM pairs GROUP BY query_id, vec_id
+)
+"""
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import brute_force_topk, queries_from_ids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, queries_from_ids(emb, 10), k=5)
+
+
+SQL_SIM_TOPK_COSINE = f"""
+WITH {_COSINE_PAIRS_CTE.format(maxq=10)}
+SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import ivf_topk
+
+    return ivf_topk(load(spark, sf_dir, "embeddings"), k=3, every=50,
+                    max_query_id=10)
+
+
+SQL_SIM_IVF_TOPK = """
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+    WHERE vec_id % 50 = 0
+),
+apairs AS (
+    SELECT e.vec_id, c.centroid_id,
+           cast(unnest(e.embedding) AS double) AS a,
+           cast(unnest(c.cvec) AS double) AS b
+    FROM embeddings e, cents c
+),
+ascored AS (
+    SELECT vec_id, centroid_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+    FROM apairs GROUP BY vec_id, centroid_id
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id) AS rnk
+        FROM ascored
+    ) WHERE rnk = 1
+),
+base AS (
+    SELECT e.vec_id, e.embedding, a.centroid_id
+    FROM embeddings e JOIN assign a USING (vec_id)
+),
+qpairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           cast(unnest(q.embedding) AS double) AS a,
+           cast(unnest(c.embedding) AS double) AS b
+    FROM base q JOIN base c ON q.centroid_id = c.centroid_id
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+qscored AS (
+    SELECT query_id, vec_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cosine
+    FROM qpairs GROUP BY query_id, vec_id
+)
+SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rnk
+    FROM qscored
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKEN_STATS = """
+SELECT doc_id AS id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       round((length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+WITH toks AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+agg AS (
+    SELECT id, count(*) AS n,
+           sum(CASE WHEN tok IN ('the','a','of','and','is','to','in')
+               THEN 1 ELSE 0 END) AS n_sw,
+           count(DISTINCT tok) AS n_distinct
+    FROM toks GROUP BY id
+)
+SELECT id, n AS n_tokens,
+       round(n_sw / n, 6) AS stopword_ratio,
+       round(n_distinct / n, 6) AS distinct_ratio,
+       round((n_distinct / n) * (1 - n_sw / n), 6) AS quality
+FROM agg
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_LANGID = """
+WITH toks AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+agg AS (
+    SELECT id, count(*) AS n,
+        sum(CASE WHEN tok IN ('the','and','is','of','to','a') THEN 1 ELSE 0 END) / count(*) AS r_en,
+        sum(CASE WHEN tok IN ('le','la','et','est','les','de') THEN 1 ELSE 0 END) / count(*) AS r_fr,
+        sum(CASE WHEN tok IN ('der','die','und','ist','das','ein') THEN 1 ELSE 0 END) / count(*) AS r_de,
+        sum(CASE WHEN tok IN ('el','la','y','es','los','de') THEN 1 ELSE 0 END) / count(*) AS r_es
+    FROM toks GROUP BY id
+)
+SELECT id,
+       CASE WHEN r_de >= 0.05 AND r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+            WHEN r_en >= 0.05 AND r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+            WHEN r_es >= 0.05 AND r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+            WHEN r_fr >= 0.05 AND r_fr = greatest(r_de, r_en, r_es, r_fr) THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       round(greatest(r_de, r_en, r_es, r_fr), 6) AS marker_ratio
+FROM agg
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id AS id,
+       md5(array_to_string(string_split(text, ' '), ' ')) AS fp,
+       len(string_split(text, ' ')) AS n_tokens,
+       cast(floor(log2(length(text) + 1)) AS integer) AS len_bucket
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (documents -> synthetic manifest)
+# ---------------------------------------------------------------------------
+
+
+def q_mm_manifest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import synth_manifest
+
+    return synth_manifest(load(spark, sf_dir, "documents")).select(
+        "item_id", "modality", "width", "height", "n_frames"
+    )
+
+
+SQL_MM_MANIFEST_META = """
+WITH m AS (
+    SELECT doc_id AS item_id,
+           CASE cast(doc_id % 3 AS integer) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           cast(('0x' || substring(md5(text), 1, 8)) AS bigint) AS hi
+    FROM documents
+)
+SELECT item_id, modality,
+       cast(hi % 1920 + 16 AS integer) AS width,
+       -- floor, not cast: DuckDB's double->int cast ROUNDS, Spark's truncates
+       cast(cast(floor(hi / 1920) AS bigint) % 1080 + 16 AS integer) AS height,
+       cast(hi % 240 + 1 AS integer) AS n_frames
+FROM m
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import frame_sample, synth_manifest
+
+    return frame_sample(synth_manifest(load(spark, sf_dir, "documents")),
+                        every=30)
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH m AS (
+    SELECT doc_id AS item_id,
+           CASE cast(doc_id % 3 AS integer) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           cast(('0x' || substring(md5(text), 1, 8)) AS bigint) AS hi
+    FROM documents
+)
+SELECT item_id, unnest(generate_series(0, cast(hi % 240 + 1 AS integer) - 1, 30)) AS frame_idx
+FROM m WHERE modality = 'video'
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "kg_transcripts": q_kg_transcripts,
+    "kg_dict_core": q_kg_dict_core,
+    "kg_mentions_exact": q_kg_mentions_exact,
+    "kg_entity_link": q_kg_entity_link,
+    "kg_canonicalize_cc": q_kg_canonicalize_cc,
+    "kg_triples_exact": q_kg_triples_exact,
+    "kg_eval_pr": q_kg_eval_pr,
+    "kg_turn_text_equality": q_kg_turn_text_equality,
+    "kg_tag_mentions_dp": q_kg_tag_mentions_dp,
+    "kg_triples_dp": q_kg_triples_dp,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers_window": q_rel_top_customers_window,
+    "rel_order_revenue_join": q_rel_order_revenue_join,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "mm_manifest_meta": q_mm_manifest_meta,
+    "mm_frame_sample": q_mm_frame_sample,
+}
+
+ORACLE_SQL = {
+    "kg_transcripts": SQL_KG_TRANSCRIPTS,
+    "kg_dict_core": SQL_KG_DICT_CORE,
+    "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,
+    "kg_entity_link": SQL_KG_ENTITY_LINK,
+    "kg_canonicalize_cc": SQL_KG_CANONICALIZE_CC,
+    "kg_triples_exact": SQL_KG_TRIPLES_EXACT,
+    "kg_eval_pr": SQL_KG_EVAL_PR,
+    "kg_turn_text_equality": SQL_KG_TURN_TEXT_EQUALITY,
+    # kg_tag_mentions_dp / kg_triples_dp: DP segmentation is not
+    # SQL-expressible; parity is proven in pytest against the compiled
+    # reference binary (tests/test_reference_binary.py, test_tagger_spark.py).
+    "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
+    "rel_top_customers_window": SQL_REL_TOP_CUSTOMERS_WINDOW,
+    "rel_order_revenue_join": SQL_REL_ORDER_REVENUE_JOIN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
+    "sim_ivf_topk": SQL_SIM_IVF_TOPK,
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "mm_manifest_meta": SQL_MM_MANIFEST_META,
+    "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
+}

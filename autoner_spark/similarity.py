@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both DataFrame-native:
+
+* brute_force_topk — exact cosine top-k: query rows x candidate rows,
+  JVM-side dot products via ``aggregate(zip_with(...))``, windowed top-k.
+  The correctness baseline; O(Q x N) — fine for reranking, not for recall.
+* ivf_assign / ivf_topk — the scale path: a deterministic centroid set
+  (IVF "coarse quantizer"); every vector is assigned to its best centroid
+  (broadcast join — centroids are tiny); queries probe ONLY their own
+  cluster, cutting the candidate set by ~|clusters|. At 100 TB the
+  assignment is one broadcast-join map stage and the search shuffles only
+  within matching clusters.
+
+Cosines are computed in float64 from float32 inputs and rounded for
+cross-engine comparison; ranking ties are broken by vec_id so top-k is
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(pairs: DataFrame, a: str = "qvec", b: str = "embedding") -> DataFrame:
+    return pairs.withColumn(
+        "cosine", _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """queries(query_id, qvec) x embeddings -> top-k (query_id, vec_id,
+    cosine) per query; self-matches excluded by id."""
+    cand = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    pairs = queries.crossJoin(cand).filter(F.col("query_id") != F.col("vec_id"))
+    scored = with_cosine(pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def queries_from_ids(embeddings: DataFrame, max_query_id: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return embeddings.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+
+
+def ivf_centroids(embeddings: DataFrame, every: int = 50,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer: every ``every``-th vector is a
+    centroid (stand-in for a k-means fit; the assignment/probe mechanics are
+    identical)."""
+    return embeddings.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, centroid_id): argmax-cosine assignment via broadcast join +
+    windowed argmax (ties -> smaller centroid_id)."""
+    pairs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).crossJoin(F.broadcast(centroids))
+    scored = pairs.withColumn(
+        "cos", _dot(F.col("embedding"), F.col("cvec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("cvec")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    every: int = 50,
+    max_query_id: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing only the query's own cluster (nprobe=1)."""
+    cents = ivf_centroids(embeddings, every, id_col, vec_col)
+    assign = ivf_assign(embeddings, cents, id_col, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(assign, "vec_id")
+    q = base.filter(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("centroid_id"),
+    )
+    cand = base.select("vec_id", "embedding", "centroid_id")
+    pairs = q.join(cand, "centroid_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = with_cosine(pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -126,12 +126,19 @@ def conv_id_str(conv_idx: int) -> str:
 _ROLES = ("user", "assistant", "tool")
 
 
-def turn_row(conv_idx: int, turn_idx: int, seed: int = DEFAULT_SEED) -> dict:
+def turn_row(
+    conv_idx: int,
+    turn_idx: int,
+    seed: int = DEFAULT_SEED,
+    min_frags: int = 2,
+    rng_frags: int = 12,
+) -> dict:
     """One transcript row. text is single-space-joined tokens, so the
     per-turn text-equality invariant (' '.join(tokens) == text) holds by
-    construction."""
+    construction. min_frags/rng_frags control turn length (the bench profile
+    uses longer, BC5CDR-sentence-like turns)."""
     x = _h64(f"{seed}:text:{conv_idx}:{turn_idx}")
-    n_frag = 2 + (x >> 7) % 12
+    n_frag = min_frags + (x >> 7) % rng_frags
     tokens: list[str] = []
     for _ in range(n_frag):
         x = _lcg_next(x)
@@ -168,7 +175,8 @@ TRANSCRIPTS_DDL = (
 
 
 def synth_transcripts(spark, n_convs: int, seed: int = DEFAULT_SEED,
-                      partitions: int | None = None):
+                      partitions: int | None = None,
+                      min_frags: int = 2, rng_frags: int = 12):
     """Distributed deterministic transcripts: spark.range over conv indices,
     fan out turns inside mapInPandas. Output is independent of partitioning
     because every cell is a pure function of (seed, conv_idx, turn_idx)."""
@@ -182,10 +190,47 @@ def synth_transcripts(spark, n_convs: int, seed: int = DEFAULT_SEED,
             for conv_idx in pdf["id"].values:
                 c = int(conv_idx)
                 for t in range(turns_for_conv(c, seed)):
-                    out.append(turn_row(c, t, seed))
+                    out.append(turn_row(c, t, seed, min_frags, rng_frags))
             yield pd.DataFrame(
                 out,
                 columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
             )
 
     return rng.mapInPandas(gen, TRANSCRIPTS_DDL)
+
+
+# --------------------------------------------------------------------------
+# bench-scale dictionary (BC5CDR-like density: thousands of surfaces)
+# --------------------------------------------------------------------------
+
+_BENCH_WORDS = sorted(
+    {w for frag in _FRAGMENTS for w in frag if w.isalpha() and w.islower()}
+)
+
+
+def bench_dict_spec(n_core: int = 2400, n_full: int = 6800) -> DictionarySpec:
+    """A dictionary sized like BC5CDR's (dict_core 2,482 / dict_full 6,877 —
+    BASELINE.md) built deterministically from the closed vocabulary:
+    2-3-token combinations with hash-assigned types. Denser tries and many
+    more candidate matches per token make bench numbers honest."""
+    base = dict_spec()
+    words = _BENCH_WORDS
+    nw = len(words)
+    types = ["Operator", "Object", "Metric", "Chemical", "Disease"]
+    core = list(base.core)
+    for i in range(n_core):
+        x = _h64(f"benchcore:{i}")
+        w1 = words[x % nw]
+        w2 = words[(x >> 8) % nw]
+        toks = [w1, w2]
+        if x % 3 == 0:
+            toks.append(words[(x >> 16) % nw])
+        core.append((types[(x >> 24) % len(types)], " ".join(toks)))
+    full = list(base.full)
+    for i in range(n_full):
+        x = _h64(f"benchfull:{i}")
+        toks = [words[x % nw], words[(x >> 8) % nw]]
+        if x % 2 == 0:
+            toks.append(words[(x >> 16) % nw])
+        full.append(" ".join(toks))
+    return DictionarySpec(core=core, full=full, stopwords=list(base.stopwords))

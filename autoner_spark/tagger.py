@@ -52,22 +52,36 @@ MENTIONS_SCHEMA = StructType(
     ]
 )
 
-# Compiled automaton node layout: (children: dict[str, node] | None,
+# Compiled automaton node layout: (children: dict[int, node] | None,
 # kind: 0 none / 1 entity / 2 filtered, type_str: comma-joined sorted types).
+# Children are keyed by INTERNED TOKEN IDS, not strings: each input token is
+# hashed once per turn (vocab lookup); the DP walk then runs on small-int
+# dict lookups — less string hashing and less memory traffic in the hot loop.
 _KIND_NONE, _KIND_ENTITY, _KIND_FILTERED = 0, 1, 2
+
+NEWLINE_ID = -2  # sentinel id for "\n" (never a trie edge; breaks the walk)
+UNKNOWN_ID = -1  # token absent from the trie vocabulary
 
 
 def compile_trie(trie: TrieKB) -> dict[str, Any]:
-    """Flatten a TrieKB into nested dicts for fast executor-side walking.
+    """Flatten a TrieKB into int-keyed nested dicts + a token vocabulary.
 
     kind mirrors isEntity/isFiltered (annotation.h:39-45); type_str is the
     comma-joined sorted type set (the std::set iteration order used at
     string_match.h:70-76).
     """
+    vocab: dict[str, int] = {}
+
+    def tok_id(tok: str) -> int:
+        i = vocab.get(tok)
+        if i is None:
+            i = len(vocab)
+            vocab[tok] = i
+        return i
 
     def build(u: int) -> tuple[dict | None, int, str]:
         kids = {
-            tok: build(v) for tok, v in trie.children[u].items()
+            tok_id(tok): build(v) for tok, v in trie.children[u].items()
         } or None
         t = trie.types[u]
         if len(t) > 0 and FILTERED_TYPE not in t:
@@ -79,11 +93,16 @@ def compile_trie(trie: TrieKB) -> dict[str, Any]:
         return (kids, kind, ts)
 
     root = build(0)
-    return {"root": root}
+    # "\n" can legally appear as a trie edge (a dict surface containing a
+    # newline token is pathological but constructible); the reference's DP
+    # breaks on "\n" BEFORE descending (string_match.h:35-37), so mapping it
+    # to NEWLINE_ID preserves semantics even then.
+    vocab["\n"] = NEWLINE_ID
+    return {"root": root, "vocab": vocab}
 
 
 def tag_tokens_compiled(
-    tokens: list[str], root: tuple, weight: float = 1.0
+    tokens: list[str], compiled: dict[str, Any], weight: float = 1.0
 ) -> list[tuple[int, int, str, str]]:
     """DP segmentation + mention extraction against a compiled trie.
 
@@ -96,7 +115,10 @@ def tag_tokens_compiled(
     n = len(tokens)
     if n == 0:
         return []
-    root_children = root[0]
+    vocab = compiled["vocab"]
+    vget = vocab.get
+    ids = [vget(t, UNKNOWN_ID) for t in tokens]
+    root_children = compiled["root"][0]
     f = [-1.0] * (n + 1)
     f[0] = 0.0
     tb_i = [0] * (n + 1)
@@ -112,10 +134,13 @@ def tag_tokens_compiled(
         if node_children is None:
             continue
         for j in range(i, n):
-            tok = tokens[j]
-            if tok == "\n":
+            tid = ids[j]
+            if tid < 0:
+                if tid == NEWLINE_ID:
+                    break  # "\n" barrier checked BEFORE descending
+                # unknown token: not "\n", but also not a trie edge
                 break
-            nxt = node_children.get(tok)
+            nxt = node_children.get(tid)
             if nxt is None:
                 break
             kids, kind, ts = nxt
@@ -156,19 +181,29 @@ def tag_transcripts(
     trie: TrieKB,
     weight: float = 1.0,
     spark: SparkSession | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) -> mentions DataFrame.
 
     One narrow mapInPandas stage over Arrow batches; the compiled trie is
-    broadcast. Column pruning: only (conv_id, turn_idx, text) are read, so a
-    parquet/Iceberg scan prunes role/tool/ts at the source.
+    broadcast. Column pruning: only (conv_id, turn_idx, text) plus any
+    ``passthrough`` columns are read, so a parquet/Iceberg scan prunes the
+    rest at the source. ``passthrough`` columns (e.g. ``ts`` for streaming
+    watermarks) are copied onto each emitted mention. Works on both batch
+    and streaming DataFrames (the stage is stateless).
     """
     spark = spark or transcripts.sparkSession
     compiled = compile_trie(trie)
     bc = spark.sparkContext.broadcast(compiled)
 
+    in_cols = ["conv_id", "turn_idx", "text", *passthrough]
+    out_schema = StructType(
+        list(MENTIONS_SCHEMA.fields)
+        + [transcripts.schema[c] for c in passthrough]
+    )
+
     def tag_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        root = bc.value["root"]
+        compiled = bc.value
         for pdf in batches:
             conv_ids: list[str] = []
             turn_idxs: list[int] = []
@@ -176,30 +211,34 @@ def tag_transcripts(
             ends: list[int] = []
             surfaces: list[str] = []
             etypes: list[str] = []
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
+            extra: dict[str, list] = {c: [] for c in passthrough}
+            pass_vals = [pdf[c].values for c in passthrough]
+            for i, (conv_id, turn_idx, text) in enumerate(
+                zip(pdf["conv_id"].values, pdf["turn_idx"].values,
+                    pdf["text"].values)
             ):
                 if not text:
                     continue
                 tokens = [t for t in text.split(" ") if t]
-                for b, e, surf, ts in tag_tokens_compiled(tokens, root, weight):
+                for b, e, surf, ts in tag_tokens_compiled(tokens, compiled, weight):
                     conv_ids.append(conv_id)
                     turn_idxs.append(int(turn_idx))
                     begins.append(b)
                     ends.append(e)
                     surfaces.append(surf)
                     etypes.append(ts)
-            yield pd.DataFrame(
-                {
-                    "conv_id": pd.Series(conv_ids, dtype="object"),
-                    "turn_idx": pd.Series(turn_idxs, dtype="int32"),
-                    "begin_tok": pd.Series(begins, dtype="int32"),
-                    "end_tok": pd.Series(ends, dtype="int32"),
-                    "surface": pd.Series(surfaces, dtype="object"),
-                    "entity_type": pd.Series(etypes, dtype="object"),
-                }
-            )
+                    for c, vals in zip(passthrough, pass_vals):
+                        extra[c].append(vals[i])
+            data = {
+                "conv_id": pd.Series(conv_ids, dtype="object"),
+                "turn_idx": pd.Series(turn_idxs, dtype="int32"),
+                "begin_tok": pd.Series(begins, dtype="int32"),
+                "end_tok": pd.Series(ends, dtype="int32"),
+                "surface": pd.Series(surfaces, dtype="object"),
+                "entity_type": pd.Series(etypes, dtype="object"),
+            }
+            for c in passthrough:
+                data[c] = pd.Series(extra[c])
+            yield pd.DataFrame(data)
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
-        tag_batches, MENTIONS_SCHEMA
-    )
+    return transcripts.select(*in_cols).mapInPandas(tag_batches, out_schema)

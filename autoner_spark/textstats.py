@@ -1,0 +1,104 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting — all JVM-side expressions (no UDFs).
+
+Language ID is a marker-word heuristic (per-language stopword hit-ratio);
+real corpora would use char-n-gram profiles, but the operator shape —
+explode -> broadcast-join marker table -> ratio -> argmax — is the same and
+is what matters at scale. The multilingual behavior is pytest-covered with
+real sentences; the SQL-twin query applies the same expression to the
+documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in"]
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to", "a"],
+    "fr": ["le", "la", "et", "est", "les", "de"],
+    "de": ["der", "die", "und", "ist", "das", "ein"],
+    "es": ["el", "la", "y", "es", "los", "de"],
+}
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_chars, avg_token_len)."""
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(
+            (F.length(F.col(text_col)) - (F.size(toks) - 1))
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, stopword_ratio, distinct_ratio, quality):
+    quality = distinct_ratio * (1 - stopword_ratio), rounded — a
+    length/stopword/diversity heuristic in the C4/Gopher-rules family."""
+    toks = _tokens(text_col)
+    sw = F.array([F.lit(w) for w in STOPWORDS_EN])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = n_sw / n
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(distinct_ratio * (1 - stop_ratio), 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(id, lang_pred, marker_ratio): argmax over per-language marker-word
+    hit ratios; 'und' (undetermined) when no language reaches 5%."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    ratios = {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(markers))  # noqa: B023
+        ) / n
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best_ratio = F.greatest(*ratios.values())
+    # first-wins among alphabetically sorted langs: build the when-chain in
+    # reverse so the earliest language is the outermost condition
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (ratios[lang] >= 0.05) & (ratios[lang] == best_ratio), lang
+        ).otherwise(pred)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        pred.alias("lang_pred"),
+        F.round(best_ratio, 6).alias("marker_ratio"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, fp, n_tokens, len_bucket): md5 fingerprint of the
+    whitespace-normalized text + coarse length bucket (dedup/sharding key)."""
+    norm = F.array_join(F.split(F.col(text_col), " "), " ")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(norm).alias("fp"),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+        F.floor(F.log2(F.length(F.col(text_col)) + 1)).cast("int").alias("len_bucket"),
+    )

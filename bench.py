@@ -1,0 +1,158 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then measures the
+distributed tagger's throughput-scaling between two parallelism levels
+(N and 4N local cores — the sandbox's stand-in for N vs 4N executors, per
+BASELINE.json's scaling-efficiency target) on an identical pre-materialized
+synthetic transcripts corpus with a BC5CDR-sized dictionary.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ...,
+         "scaling": {"cores_lo", "turns_per_sec_lo", "cores_hi",
+                     "turns_per_sec_hi", "efficiency"}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from autoner_spark import queries as Q  # noqa: E402
+from autoner_spark import synth  # noqa: E402
+from autoner_spark.dictionary import build_trie  # noqa: E402
+from autoner_spark.session import get_spark  # noqa: E402
+from autoner_spark.tagger import tag_transcripts  # noqa: E402
+
+HEADLINE = [
+    "kg_transcripts",
+    "kg_mentions_exact",
+    "kg_entity_link",
+    "kg_triples_exact",
+    "kg_tag_mentions_dp",
+    "kg_triples_dp",
+    "rel_pricing_summary",
+    "rel_order_revenue_join",
+]
+
+# scaling-corpus size: conversations per unit sf (sf0.1 -> 300k convs,
+# ~2.9M turns at ~33 tokens/turn). Sized so the tag stage carries >=150
+# core-seconds of real work at sf0.1 — below that, fixed scheduling/scan
+# overhead dominates and strong-scaling numbers are meaningless.
+CONVS_PER_SF = 3_000_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def time_query(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
+def materialize_corpus(spark, n_convs: int, path: str) -> int:
+    """Write the scaling corpus once (deterministic; reused across runs)."""
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        df = synth.synth_transcripts(
+            spark, n_convs, partitions=64, min_frags=12, rng_frags=30
+        )
+        df.write.mode("overwrite").parquet(os.path.join(path, "transcripts"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return spark.read.parquet(os.path.join(path, "transcripts")).count()
+
+
+def tag_run(cores: int, corpus_path: str, trie, warmup: bool = True) -> float:
+    """Fresh session at the given parallelism; returns best timed run of the
+    tag->count job. The warmup is a FULL pass: every Python worker must have
+    started and fetched the trie broadcast before timing, otherwise the
+    high-parallelism level is charged 4x the one-time worker startup cost
+    and strong-scaling efficiency is understated."""
+    # Size scan splits to the parallelism level: the corpus is a few
+    # hundred MB, and the default 128MB maxPartitionBytes would coalesce it
+    # into a handful of tasks — at 100TB this constant is what keeps tasks
+    # ~2-4x the core count; here it is scaled down for the same ratio.
+    spark = get_spark(
+        f"bench-scale-{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024),
+        },
+    )
+    try:
+        df = spark.read.parquet(os.path.join(corpus_path, "transcripts"))
+        if warmup:
+            tag_transcripts(df, trie).count()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tag_transcripts(df, trie).count()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[1]  # median of 3: robust to OS noise spikes
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # session warmup so the first headline query isn't charged JVM/worker
+    # startup
+    Q.QUERIES["kg_tag_mentions_dp"](spark, sf_dir).count()
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE:
+        qtimes[name] = round(time_query(Q.QUERIES[name], spark, sf_dir), 3)
+
+    # --- scaling corpus (built once, deterministic) ---
+    n_convs = max(2_000, int(CONVS_PER_SF * sf))
+    corpus_path = f"/tmp/autoner_bench_corpus_sf{sf}"
+    n_turns = materialize_corpus(spark, n_convs, corpus_path)
+    spark.stop()
+
+    trie = build_trie(synth.bench_dict_spec())
+    lo = max(2, cpus // 4)
+    hi = cpus
+    t_lo = tag_run(lo, corpus_path, trie)
+    t_hi = tag_run(hi, corpus_path, trie)
+    thr_lo = n_turns / t_lo
+    thr_hi = n_turns / t_hi
+    efficiency = (t_lo * lo) / (t_hi * hi)
+
+    total = round(sum(qtimes.values()) + t_lo + t_hi, 3)
+    print(json.dumps({
+        "metric": "kg_pipeline_headline_plus_scaling",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "scaling": {
+            "n_turns": n_turns,
+            "cores_lo": lo,
+            "sec_lo": round(t_lo, 3),
+            "turns_per_sec_lo": round(thr_lo),
+            "cores_hi": hi,
+            "sec_hi": round(t_hi, 3),
+            "turns_per_sec_hi": round(thr_hi),
+            "efficiency": round(efficiency, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Dedup / similarity / textstats / multimodal operators (sf0.001 data)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_partition_invariance(spark, docs):
+    from autoner_spark.dedup import exact_dedup
+
+    a = {tuple(r) for r in exact_dedup(docs.repartition(1)).collect()}
+    b = {tuple(r) for r in exact_dedup(docs.repartition(13)).collect()}
+    assert a == b
+    assert sum(r[2] for r in a) == docs.count()
+
+
+def test_near_dup_methods_agree(spark, docs):
+    """The corpus has built-in near-duplicate pairs; jaccard and
+    minhash-LSH must both surface them, and LSH candidates at 4 full bands
+    must be (near-)duplicates by jaccard."""
+    from autoner_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.n_bands
+        for r in minhash_lsh_pairs(docs, num_hashes=16, band_size=4).collect()
+    }
+    assert jac, "fixture corpus should contain near-dup pairs"
+    # every high-jaccard pair collides in at least one LSH band
+    missed = [p for p, j in jac.items() if j > 0.9 and p not in lsh]
+    assert not missed
+    # full-signature collisions are real near-dups
+    for pair, bands in lsh.items():
+        if bands == 4:
+            assert jac.get(pair, 0) > 0.5
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    from autoner_spark.dedup import ngram_jaccard_pairs, simhash
+
+    sh = {r.id: r.simhash for r in simhash(docs).collect()}
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    assert pairs
+    for p in pairs:
+        hamming = bin(sh[p.id_a] ^ sh[p.id_b]).count("1")
+        assert hamming <= 6, f"near-dup pair {p} has hamming {hamming}"
+    assert all(0 <= v < 2**32 for v in sh.values())
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    from autoner_spark.similarity import brute_force_topk, queries_from_ids
+
+    got = brute_force_topk(emb, queries_from_ids(emb, 3), k=5).collect()
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(3):
+        qi = int(np.where(ids == q)[0][0])
+        cos = mat @ mat[qi] / (norms * norms[qi])
+        cos[qi] = -2  # exclude self
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:5]
+        want = [int(ids[i]) for i in order]
+        have = [r.vec_id for r in sorted(got, key=lambda r: (r.query_id, r.rnk))
+                if r.query_id == q]
+        assert have == want
+
+
+def test_ivf_topk_subset_of_cluster(spark, emb):
+    from autoner_spark.similarity import ivf_assign, ivf_centroids, ivf_topk
+
+    topk = ivf_topk(emb, k=3, every=50, max_query_id=5).collect()
+    assert topk
+    assign = {r.vec_id: r.centroid_id for r in
+              ivf_assign(emb, ivf_centroids(emb, 50)).collect()}
+    for r in topk:
+        assert assign[r.query_id] == assign[r.vec_id]  # nprobe=1 invariant
+
+
+def test_langid_real_sentences(spark):
+    from autoner_spark.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the table and the dog is here"),
+            (1, "le chat est sur la table et les chiens"),
+            (2, "der hund ist gross und die katze ist klein"),
+            (3, "el perro es grande y los gatos"),
+            (4, "xyzzy plugh quux"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.lang_pred for r in lang_id(df).collect()}
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_and_stats(spark, docs):
+    from autoner_spark.textstats import quality_score, token_stats
+
+    q = quality_score(docs).collect()
+    assert all(0 <= r.quality <= 1 for r in q)
+    s = token_stats(docs).collect()
+    assert all(r.n_tokens > 0 and r.n_chars >= r.n_tokens for r in s)
+
+
+def test_multimodal_plumbing(spark, docs):
+    from autoner_spark.multimodal import (
+        decode_features,
+        fake_decoder,
+        frame_sample,
+        require_real_decoder,
+        synth_manifest,
+    )
+
+    man = synth_manifest(docs).cache()
+    assert man.schema["payload"].dataType.typeName() == "binary"
+    feats = decode_features(man, decoder=fake_decoder)
+    rows = feats.collect()
+    assert all(r.n_bytes == 16 for r in rows)  # md5 = 16 bytes
+    assert all(len(r.feat) == 8 for r in rows)
+    # deterministic across partitioning
+    again = {
+        (r.item_id, tuple(r.feat))
+        for r in decode_features(man.repartition(7)).collect()
+    }
+    assert again == {(r.item_id, tuple(r.feat)) for r in rows}
+
+    fs = frame_sample(man, every=30)
+    per = fs.groupBy("item_id").count().collect()
+    meta = {r.item_id: r.n_frames for r in man.filter("modality='video'").collect()}
+    for r in per:
+        assert r["count"] == (meta[r.item_id] - 1) // 30 + 1
+
+    with pytest.raises(NotImplementedError):
+        require_real_decoder(b"", 1, 1)

@@ -37,11 +37,11 @@ def oracle_spans(rows, trie):
 
 def test_compiled_dp_matches_oracle_per_turn(trie):
     """Fast path vs readable oracle, turn by turn (no Spark)."""
-    root = compile_trie(trie)["root"]
+    compiled = compile_trie(trie)
     rows = synth.local_rows(n_convs=N_CONVS)
     for row in rows:
         toks = tokenize_turn(row["text"])
-        fast = tag_tokens_compiled(toks, root)
+        fast = tag_tokens_compiled(toks, compiled)
         slow = [
             (m.begin_tok, m.end_tok, m.surface, m.entity_type)
             for m in tag_turn(toks, trie)
