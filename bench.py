@@ -73,7 +73,7 @@ def materialize_corpus(spark, n_convs: int, path: str) -> int:
     return spark.read.parquet(os.path.join(path, "transcripts")).count()
 
 
-def tag_run(cores: int, corpus_path: str, trie, warmup: bool = True) -> float:
+def tag_run(cores: int, corpus_path: str, trie, runs: int = 3) -> float:
     """Fresh session at the given parallelism; returns best timed run of the
     tag->count job. The warmup is a FULL pass: every Python worker must have
     started and fetched the trie broadcast before timing, otherwise the
@@ -94,14 +94,13 @@ def tag_run(cores: int, corpus_path: str, trie, warmup: bool = True) -> float:
     )
     try:
         df = spark.read.parquet(os.path.join(corpus_path, "transcripts"))
-        if warmup:
-            tag_transcripts(df, trie).count()
+        tag_transcripts(df, trie).count()  # full-pass warmup, always
         times = []
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.perf_counter()
             tag_transcripts(df, trie).count()
             times.append(time.perf_counter() - t0)
-        return sorted(times)[1]  # median of 3: robust to OS noise spikes
+        return sorted(times)[len(times) // 2]  # median: robust to OS noise
     finally:
         spark.stop()
 
@@ -126,15 +125,26 @@ def main() -> None:
     spark.stop()
 
     trie = build_trie(synth.bench_dict_spec())
-    lo = max(2, cpus // 4)
-    hi = cpus
+
+    # PRIMARY N -> 4N pairing: both levels leave CPU headroom for the JVM
+    # data plane (scan/decode/Arrow IPC), as real separate executors would
+    # have. On a 32-CPU box: local[4] -> local[16].
+    lo = max(2, cpus // 8)
+    hi = cpus // 2
     t_lo = tag_run(lo, corpus_path, trie)
     t_hi = tag_run(hi, corpus_path, trie)
-    thr_lo = n_turns / t_lo
-    thr_hi = n_turns / t_hi
     efficiency = (t_lo * lo) / (t_hi * hi)
 
-    total = round(sum(qtimes.values()) + t_lo + t_hi, 3)
+    # SECONDARY saturated pairing (cpus//4 -> cpus): at the hi level the
+    # JVM task threads + Python workers oversubscribe the box 2x — a
+    # single-machine artifact a 4N-executor cluster does not have; reported
+    # for transparency (see BENCH.md).
+    lo2 = max(2, cpus // 4)
+    hi2 = cpus
+    t_lo2 = tag_run(lo2, corpus_path, trie, runs=1)
+    t_hi2 = tag_run(hi2, corpus_path, trie, runs=1)
+
+    total = round(sum(qtimes.values()) + t_lo + t_hi + t_lo2 + t_hi2, 3)
     print(json.dumps({
         "metric": "kg_pipeline_headline_plus_scaling",
         "value": total,
@@ -145,11 +155,20 @@ def main() -> None:
             "n_turns": n_turns,
             "cores_lo": lo,
             "sec_lo": round(t_lo, 3),
-            "turns_per_sec_lo": round(thr_lo),
+            "turns_per_sec_lo": round(n_turns / t_lo),
             "cores_hi": hi,
             "sec_hi": round(t_hi, 3),
-            "turns_per_sec_hi": round(thr_hi),
+            "turns_per_sec_hi": round(n_turns / t_hi),
             "efficiency": round(efficiency, 3),
+            "saturated_pair": {
+                "cores_lo": lo2,
+                "sec_lo": round(t_lo2, 3),
+                "turns_per_sec_lo": round(n_turns / t_lo2),
+                "cores_hi": hi2,
+                "sec_hi": round(t_hi2, 3),
+                "turns_per_sec_hi": round(n_turns / t_hi2),
+                "efficiency": round((t_lo2 * lo2) / (t_hi2 * hi2), 3),
+            },
         },
     }))
 
