@@ -160,8 +160,12 @@ mentions AS (
 def exact_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All exact unigram/bigram dictionary occurrences (overlaps allowed).
 
-    Pure relational: posexplode -> window lead -> broadcast join with the
-    dictionary. No UDF; whole-stage codegen end to end.
+    Pure relational and single-pass: posexplode -> ONE window lead -> unpivot
+    each position into its (unigram, bigram) candidate surfaces -> ONE
+    broadcast join with the dictionary. No UDF; whole-stage codegen end to
+    end; one shuffle (the window) regardless of how many n-gram widths are
+    matched — at 100 TB the candidate explode is cheaper than running the
+    window once per width.
     """
     t = transcripts_df(spark, sf_dir)
     toks = t.select(
@@ -170,25 +174,28 @@ def exact_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
     big = toks.withColumn("next_token", F.lead("token").over(w))
-    dict_df = F.broadcast(
-        exact_dict_df(spark)
+    uni_c = F.struct(F.col("token").alias("surface"), F.lit(1).alias("w"))
+    bi_c = F.struct(
+        F.concat_ws(" ", F.col("token"), F.col("next_token")).alias("surface"),
+        F.lit(2).alias("w"),
     )
-    uni = big.join(dict_df, big["token"] == dict_df["surface"]).select(
-        "conv_id", "turn_idx",
-        F.col("pos").cast("int").alias("begin_tok"),
-        (F.col("pos") + 1).cast("int").alias("end_tok"),
-        "surface", "entity_type",
-    )
-    bigram_surface = F.concat_ws(" ", F.col("token"), F.col("next_token"))
-    bi = big.filter(F.col("next_token").isNotNull()).join(
-        dict_df, bigram_surface == dict_df["surface"]
+    cands = big.select(
+        "conv_id", "turn_idx", "pos",
+        F.explode(
+            F.when(F.col("next_token").isNotNull(), F.array(uni_c, bi_c))
+            .otherwise(F.array(uni_c))
+        ).alias("c"),
     ).select(
+        "conv_id", "turn_idx", "pos",
+        F.col("c.surface").alias("surface"), F.col("c.w").alias("w"),
+    )
+    dict_df = F.broadcast(exact_dict_df(spark))
+    return cands.join(dict_df, "surface").select(
         "conv_id", "turn_idx",
         F.col("pos").cast("int").alias("begin_tok"),
-        (F.col("pos") + 2).cast("int").alias("end_tok"),
+        (F.col("pos") + F.col("w")).cast("int").alias("end_tok"),
         "surface", "entity_type",
     )
-    return uni.unionByName(bi)
 
 
 def exact_dict_df(spark: SparkSession) -> DataFrame:
@@ -315,6 +322,62 @@ SELECT subj, 'mentioned_in' AS pred,
        concat(conv_id, '#', cast(turn_idx AS varchar)) AS obj,
        conv_id, turn_idx
 FROM linked
+"""
+
+
+def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges: pairs of surfaces mentioned in the same
+    turn, with counts — the graph-enrichment triples source. Hot entities
+    make (surface_a, surface_b) skewed; the count aggregation is algebraic
+    (map-side combined), and the self-join shuffles on (conv_id, turn_idx)
+    which is NOT skewed — the skew-safe formulation."""
+    m = exact_mentions_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "surface"
+    ).distinct()
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("a.surface") < F.col("b.surface"))
+        .groupBy(
+            F.col("a.surface").alias("surface_a"),
+            F.col("b.surface").alias("surface_b"),
+        )
+        .agg(F.count("*").alias("n_turns"))
+    )
+
+
+SQL_KG_COOCCURRENCE = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, surface FROM mentions)
+SELECT a.surface AS surface_a, b.surface AS surface_b, count(*) AS n_turns
+FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+WHERE a.surface < b.surface
+GROUP BY a.surface, b.surface
+"""
+
+
+def q_kg_conversation_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation entity set via the hot-key-safe salted two-phase
+    collect (autoner_spark.skew). Output array is rendered as a sorted
+    joined string so the value-hash comparison is order-free."""
+    from .skew import conversation_entities
+
+    m = exact_mentions_df(spark, sf_dir)
+    ce = conversation_entities(m)
+    return ce.select(
+        "conv_id",
+        F.array_join(F.array_sort("entities"), "|").alias("entities"),
+        F.size("entities").alias("n_entities"),
+    )
+
+
+SQL_KG_CONVERSATION_ENTITIES = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE}
+SELECT conv_id,
+       string_agg(DISTINCT surface, '|' ORDER BY surface) AS entities,
+       count(DISTINCT surface) AS n_entities
+FROM mentions
+GROUP BY conv_id
 """
 
 
@@ -870,6 +933,8 @@ QUERIES = {
     "kg_canonicalize_cc": q_kg_canonicalize_cc,
     "kg_triples_exact": q_kg_triples_exact,
     "kg_eval_pr": q_kg_eval_pr,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_conversation_entities": q_kg_conversation_entities,
     "kg_turn_text_equality": q_kg_turn_text_equality,
     "kg_tag_mentions_dp": q_kg_tag_mentions_dp,
     "kg_triples_dp": q_kg_triples_dp,
@@ -898,6 +963,8 @@ ORACLE_SQL = {
     "kg_canonicalize_cc": SQL_KG_CANONICALIZE_CC,
     "kg_triples_exact": SQL_KG_TRIPLES_EXACT,
     "kg_eval_pr": SQL_KG_EVAL_PR,
+    "kg_cooccurrence": SQL_KG_COOCCURRENCE,
+    "kg_conversation_entities": SQL_KG_CONVERSATION_ENTITIES,
     "kg_turn_text_equality": SQL_KG_TURN_TEXT_EQUALITY,
     # kg_tag_mentions_dp / kg_triples_dp: DP segmentation is not
     # SQL-expressible; parity is proven in pytest against the compiled

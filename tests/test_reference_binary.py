@@ -123,3 +123,46 @@ def test_oracle_matches_reference_binary_edge_cases(generate_bin, tmp_path):
     trie = build_trie(spec)
     ours = to_ck(stream, segment_dp(stream, trie))
     assert ours + "\n" == ref_ck
+
+
+def test_oracle_matches_reference_binary_random_dicts(generate_bin, tmp_path):
+    """Randomized (seeded) dictionaries + corpora vs the compiled binary:
+    exercises case collisions, shared prefixes, PER/ORG flags, stopword
+    removal and tie configurations beyond the curated fixtures."""
+    import random
+
+    from autoner_spark.dictionary import DictionarySpec
+
+    words = ["a", "A", "ab", "AB", "b", "bc", "c", "the", "-", ",", "zz", "Qq"]
+    types = ["T1", "T2", "PER", "ORG", "T1,T2"]
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        core = [
+            (
+                rng.choice(types),
+                " ".join(rng.choices(words, k=rng.randint(1, 3))),
+            )
+            for _ in range(rng.randint(1, 8))
+        ]
+        full = [
+            " ".join(rng.choices(words, k=rng.randint(1, 3)))
+            for _ in range(rng.randint(0, 6))
+        ]
+        stop = rng.sample(["the", "a", "b"], k=rng.randint(0, 2))
+        spec = DictionarySpec(core=core, full=full, stopwords=stop)
+
+        raw_lines: list[str] = []
+        stream: list[str] = []
+        for _ in range(40):
+            toks = rng.choices(words, k=rng.randint(0, 10))
+            raw_lines.extend(toks)
+            raw_lines.append("")
+            stream.extend(toks)
+            stream.append("\n")
+
+        wd = tmp_path / f"rand{seed}"
+        wd.mkdir()
+        ref_ck = run_reference(generate_bin, wd, raw_lines, spec)
+        trie = build_trie(spec)
+        ours = to_ck(stream, segment_dp(stream, trie))
+        assert ours + "\n" == ref_ck, f"seed {seed} diverged"

@@ -1,0 +1,83 @@
+"""spark-submit entry point: transcripts -> triples, resumable.
+
+Usage (the north_rule's deployment shape):
+
+    python tools/package.py                      # build dist/autoner_spark.zip
+    spark-submit --master local[32] \
+        --py-files dist/autoner_spark.zip \
+        tools/run_job.py --out /tmp/kg_run --n-convs 2000 --buckets 8
+
+Reruns skip completed buckets (per-partition lineage); pass --sf-dir to tag
+documents-derived transcripts instead of synthetic ones.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-convs", type=int, default=1000)
+    p.add_argument("--sf-dir", default=None,
+                   help="derive transcripts from <sf-dir>/documents.parquet "
+                        "instead of synthesizing")
+    p.add_argument("--buckets", type=int, default=8)
+    args = p.parse_args()
+
+    # spark-submit provides the session config (master, --py-files)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("autoner-kg-job").getOrCreate()
+
+    from autoner_spark import synth
+    from autoner_spark.dictionary import build_trie
+    from autoner_spark.lineage import (
+        bucketize_transcripts,
+        completed_buckets,
+        metrics_df,
+        tag_resumable,
+    )
+    from autoner_spark.triples import (
+        assemble_triples,
+        canonical_entities,
+        dict_surfaces_df,
+        link_mentions,
+    )
+
+    if args.sf_dir:
+        from autoner_spark.queries import kg_dict_spec, transcripts_df
+
+        spec = kg_dict_spec()
+        transcripts = transcripts_df(spark, args.sf_dir)
+    else:
+        spec = synth.dict_spec()
+        transcripts = synth.synth_transcripts(spark, args.n_convs)
+
+    trie = build_trie(spec)
+
+    done_before = completed_buckets(args.out)
+    if not done_before:
+        bucketize_transcripts(transcripts, args.out, args.buckets)
+    mentions = tag_resumable(spark, trie, args.out, args.buckets)
+
+    dict_df = dict_surfaces_df(spark, spec)
+    linked = link_mentions(mentions, dict_df)
+    entities = canonical_entities(linked)
+    triples = assemble_triples(linked, entities)
+    triples.write.mode("overwrite").parquet(f"{args.out}/triples")
+
+    n_triples = spark.read.parquet(f"{args.out}/triples").count()
+    metrics = [r.asDict() for r in metrics_df(spark, args.out).collect()]
+    print(json.dumps({
+        "buckets_skipped": sorted(done_before),
+        "n_triples": n_triples,
+        "lineage": metrics,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
