@@ -186,6 +186,47 @@ def to_ck(raw_tokens: list[str], segments: list[Segment]) -> str:
     return "".join(buf)
 
 
+def to_bioes(raw_tokens: list[str], segments: list[Segment]) -> str:
+    """BIOES serialization (annotation.h:353-394) — the reference's unused
+    alternative encoding, kept for interchange with BIOES-consuming tools.
+
+    Quirks preserved: Unknown positions emit the hardcoded
+    all-candidates-of-BC5CDR label string (:368); an O token emits a
+    LEADING space (" O", :372 — `sout << rawTokens[i] << " " << " O"`);
+    sentence sentinels emit a bare empty line (:361-363).
+    """
+    boundary = get_boundary(raw_tokens, segments)
+    types = get_types(raw_tokens, segments)
+    buf: list[str] = []
+    n = len(raw_tokens)
+    for i, tok in enumerate(raw_tokens):
+        if tok == "-DOCSTART-" or tok == "\n":
+            buf.append("\n")
+            continue
+        prefix = f"{tok} "
+        if boundary[i] == 0:
+            assert types[i] == "None"
+            buf.append(
+                prefix
+                + "B-Chemical,I-Chemical,E-Chemical,S-Chemical,"
+                  "B-Disease,I-Disease,E-Disease,S-Disease,O\n"
+            )
+        elif boundary[i] == 1:
+            if types[i] == "None":
+                buf.append(prefix + " O\n")  # leading space quirk (:372)
+            elif i + 1 < n and boundary[i + 1] == -1:
+                buf.append(prefix + f"B-{types[i]}\n")
+            else:
+                buf.append(prefix + f"S-{types[i]}\n")
+        else:
+            assert boundary[i] == -1
+            if i + 1 < n and boundary[i + 1] == -1:
+                buf.append(prefix + f"I-{types[i]}\n")
+            else:
+                buf.append(prefix + f"E-{types[i]}\n")
+    return "".join(buf)
+
+
 @dataclass(frozen=True)
 class Mention:
     """A typed entity span [begin_tok, end_tok) within one turn."""

@@ -5,6 +5,7 @@ from autoner_spark.oracle import (
     get_types,
     segment_dp,
     tag_turn,
+    to_bioes,
     to_ck,
 )
 
@@ -135,6 +136,28 @@ def test_to_ck_format():
         "scan O None D",
         "<eof> I None S",
         "",
+        "",
+    ]
+
+
+def test_to_bioes_format():
+    trie = trie_basic()
+    toks = ["hash", "join", "alpha", "\n", "fast", "scan", "\n",
+            "scan", "filter", "shuffle", "\n"]
+    out = to_bioes(toks, segment_dp(toks, trie))
+    assert out.splitlines() == [
+        "hash B-Operator",
+        "join E-Operator",
+        "alpha  O",          # leading-space quirk (annotation.h:372)
+        "",
+        "fast B-Chemical,I-Chemical,E-Chemical,S-Chemical,"
+        "B-Disease,I-Disease,E-Disease,S-Disease,O",
+        "scan B-Chemical,I-Chemical,E-Chemical,S-Chemical,"
+        "B-Disease,I-Disease,E-Disease,S-Disease,O",
+        "",
+        "scan B-Operator",
+        "filter E-Operator",
+        "shuffle S-Operator",
         "",
     ]
 
