@@ -483,6 +483,47 @@ def q_kg_linked_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(mentions, dict_df)
 
 
+def q_kg_mentions_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 literal front-end over AutoPhrase-style marked transcripts:
+    markup is injected for two dictionary surfaces, then the exact-lookup
+    phrase tagger runs (rows-only check; semantics pinned by test_markup)."""
+    from .markup import tag_marked_transcripts
+
+    t = transcripts_df(spark, sf_dir)
+    marked = t.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), "hash join", "<phrase>hash join</phrase>"
+            ),
+            "table scan", "<phrase>table scan</phrase>",
+        ),
+    )
+    return tag_marked_transcripts(marked, build_trie(kg_dict_spec()), spark)
+
+
+def q_kg_labels_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-or-Break labels table (D6) over the derived transcripts,
+    exploded to long form (rows-only; .ck serialization is pinned
+    byte-for-byte to the compiled reference binary in pytest)."""
+    from .labels import label_transcripts
+
+    labels = label_transcripts(
+        transcripts_df(spark, sf_dir), build_trie(kg_dict_spec()), spark
+    )
+    return labels.select(
+        "conv_id", "turn_idx",
+        F.posexplode(F.arrays_zip("tokens", "boundary", "types", "safe"))
+        .alias("tok_idx", "z"),
+    ).select(
+        "conv_id", "turn_idx", "tok_idx",
+        F.col("z.tokens").alias("token"),
+        F.col("z.boundary").alias("boundary"),
+        F.col("z.types").alias("entity_type"),
+        F.col("z.safe").alias("safe"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY.md §2.6): joins, window, agg, sort/limit
 # ---------------------------------------------------------------------------
@@ -938,6 +979,8 @@ QUERIES = {
     "kg_turn_text_equality": q_kg_turn_text_equality,
     "kg_tag_mentions_dp": q_kg_tag_mentions_dp,
     "kg_triples_dp": q_kg_triples_dp,
+    "kg_mentions_markup": q_kg_mentions_markup,
+    "kg_labels_dp": q_kg_labels_dp,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers_window": q_rel_top_customers_window,
     "rel_order_revenue_join": q_rel_order_revenue_join,

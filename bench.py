@@ -35,8 +35,13 @@ HEADLINE = [
     "kg_triples_exact",
     "kg_tag_mentions_dp",
     "kg_triples_dp",
+    "kg_cooccurrence",
     "rel_pricing_summary",
     "rel_order_revenue_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality",
 ]
 
 # scaling-corpus size: conversations per unit sf (sf0.1 -> 300k convs,
