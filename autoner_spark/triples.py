@@ -58,6 +58,14 @@ def link_mentions(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
     """
     dims = F.broadcast(dict_df.select("surface_norm", "dict_surface").distinct())
     m = mentions.withColumn("surface_norm", surface_norm_col(F.col("surface")))
+    # mention score = the DP objective's span contribution len^2
+    # (string_match.h:45) — the "scored mentions" of the north star; a
+    # JVM-side expression, exactly reproducible from the span bounds.
+    m = m.withColumn(
+        "score",
+        ((F.col("end_tok") - F.col("begin_tok"))
+         * (F.col("end_tok") - F.col("begin_tok"))).cast("double"),
+    )
     return m.join(dims, "surface_norm", "left")
 
 

@@ -136,8 +136,8 @@ def main() -> None:
     # have. On a 32-CPU box: local[4] -> local[16].
     lo = max(2, cpus // 8)
     hi = cpus // 2
-    t_lo = tag_run(lo, corpus_path, trie)
-    t_hi = tag_run(hi, corpus_path, trie)
+    t_lo = tag_run(lo, corpus_path, trie, runs=2)
+    t_hi = tag_run(hi, corpus_path, trie, runs=2)
     efficiency = (t_lo * lo) / (t_hi * hi)
 
     # SECONDARY saturated pairing (cpus//4 -> cpus): at the hi level the
