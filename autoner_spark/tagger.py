@@ -119,6 +119,14 @@ def tag_tokens_compiled(
     vget = vocab.get
     ids = [vget(t, UNKNOWN_ID) for t in tokens]
     root_children = compiled["root"][0]
+    if root_children is None or not any(
+        t >= 0 and t in root_children for t in ids
+    ):
+        # no token starts any dictionary path: the DP degenerates to
+        # all-skip segmentation -> zero mentions. Real transcript corpora
+        # are sparse (most turns mention nothing), so this prunes the
+        # whole DP allocation + loop for them.
+        return []
     f = [-1.0] * (n + 1)
     f[0] = 0.0
     tb_i = [0] * (n + 1)

@@ -123,9 +123,10 @@ def main() -> None:
     for name in HEADLINE:
         qtimes[name] = round(time_query(Q.QUERIES[name], spark, sf_dir), 3)
 
-    # --- scaling corpus (built once, deterministic) ---
+    # --- scaling corpus (built once, deterministic; the path encodes the
+    # generation parameters so a stale cache is never silently reused) ---
     n_convs = max(2_000, int(CONVS_PER_SF * sf))
-    corpus_path = f"/tmp/autoner_bench_corpus_sf{sf}"
+    corpus_path = f"/tmp/autoner_bench_corpus_v2_sf{sf}_c{n_convs}_f12-30"
     n_turns = materialize_corpus(spark, n_convs, corpus_path)
     spark.stop()
 

@@ -20,6 +20,33 @@ def test_connected_components_basic(spark):
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
 
 
+def test_connected_components_random_graph_both_paths_agree(spark):
+    """3k-node random graph: the distributed hash-min path must produce
+    exactly the driver union-find labeling."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:04d}" for i in range(3000)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(2500)
+    ] + [(n, n) for n in nodes[:100]]  # some singletons via self-loops
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(9)
+    fast = {
+        (r.node, r.comp)
+        for r in connected_components(df).collect()  # driver path
+    }
+    dist = {
+        (r.node, r.comp)
+        for r in connected_components(df, driver_threshold=0,
+                                      max_iter=40).collect()
+    }
+    assert fast == dist
+    comps = {}
+    for node, comp in fast:
+        comps.setdefault(comp, []).append(node)
+    assert all(min(v) == k for k, v in comps.items())  # min-label invariant
+
+
 def test_connected_components_chain_and_determinism(spark):
     # a long chain needs multiple propagation rounds; compare the
     # driver-side union-find path against the distributed hash-min path
