@@ -325,6 +325,38 @@ FROM linked
 """
 
 
+def q_kg_vocab_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1's vocabulary filter as a broadcast LEFT SEMI join: corpus tokens
+    retained iff they appear in any dictionary surface (encode_folder.py:
+    11-30 kept embedding rows whose word occurs in the corpus — same shape,
+    roles swapped). Output: (token, n_occurrences) for retained tokens."""
+    t = transcripts_df(spark, sf_dir)
+    toks = t.select(F.explode(F.split("text", " ")).alias("token"))
+    dict_tokens = (
+        exact_dict_df(spark)
+        .select(F.explode(F.split("surface", " ")).alias("token"))
+        .distinct()
+    )
+    return (
+        toks.join(F.broadcast(dict_tokens), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+SQL_KG_VOCAB_SEMIJOIN = f"""
+WITH {TRANSCRIPTS_CTE},
+toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM transcripts),
+dict_tokens AS (
+    SELECT DISTINCT unnest(string_split(surface, ' ')) AS token
+    FROM {_dict_values_sql()}
+)
+SELECT token, count(*) AS n_occurrences
+FROM toks WHERE token IN (SELECT token FROM dict_tokens)
+GROUP BY token
+"""
+
+
 def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence edges: pairs of surfaces mentioned in the same
     turn, with counts — the graph-enrichment triples source. Hot entities
@@ -606,6 +638,47 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+
+def q_rel_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set coverage: ROLLUP over (priority, status)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_REL_ROLLUP_ORDERS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_rel_setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: customers WITH orders EXCEPT the BUILDING
+    segment, INTERSECTed with positive-balance customers."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return with_orders.exceptAll(building).intersect(positive)
+
+
+SQL_REL_SETOP_CUSTOMERS = """
+-- parenthesized: standard SQL binds INTERSECT tighter than EXCEPT
+SELECT c_custkey FROM (
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
 """
 
 
@@ -976,6 +1049,7 @@ QUERIES = {
     "kg_eval_pr": q_kg_eval_pr,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_conversation_entities": q_kg_conversation_entities,
+    "kg_vocab_semijoin": q_kg_vocab_semijoin,
     "kg_turn_text_equality": q_kg_turn_text_equality,
     "kg_tag_mentions_dp": q_kg_tag_mentions_dp,
     "kg_triples_dp": q_kg_triples_dp,
@@ -984,6 +1058,8 @@ QUERIES = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers_window": q_rel_top_customers_window,
     "rel_order_revenue_join": q_rel_order_revenue_join,
+    "rel_rollup_orders": q_rel_rollup_orders,
+    "rel_setop_customers": q_rel_setop_customers,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1008,6 +1084,7 @@ ORACLE_SQL = {
     "kg_eval_pr": SQL_KG_EVAL_PR,
     "kg_cooccurrence": SQL_KG_COOCCURRENCE,
     "kg_conversation_entities": SQL_KG_CONVERSATION_ENTITIES,
+    "kg_vocab_semijoin": SQL_KG_VOCAB_SEMIJOIN,
     "kg_turn_text_equality": SQL_KG_TURN_TEXT_EQUALITY,
     # kg_tag_mentions_dp / kg_triples_dp: DP segmentation is not
     # SQL-expressible; parity is proven in pytest against the compiled
@@ -1015,6 +1092,8 @@ ORACLE_SQL = {
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
     "rel_top_customers_window": SQL_REL_TOP_CUSTOMERS_WINDOW,
     "rel_order_revenue_join": SQL_REL_ORDER_REVENUE_JOIN,
+    "rel_rollup_orders": SQL_REL_ROLLUP_ORDERS,
+    "rel_setop_customers": SQL_REL_SETOP_CUSTOMERS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
