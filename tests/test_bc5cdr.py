@@ -108,3 +108,56 @@ def test_bc5cdr_spark_tagger_matches_oracle(spark, bc5cdr):
     }
     assert len(gold) > 10_000  # real corpus produces a lot of mentions
     assert got == gold
+
+
+def test_reproduces_published_dictionary_match_row(spark):
+    """The README's published 'Dictionary Match' row (README.md:38:
+    P 93.93 / R 58.35 / F1 71.98 on the BC5CDR test gold set) must be
+    reproduced EXACTLY by the distributed tagger + the distributed
+    evaluation operator — external validation of both against the paper."""
+    from autoner_spark.evaluate import span_prf
+    from autoner_spark.sources.ck import parse_ck
+    from autoner_spark.synth import TRANSCRIPTS_DDL
+    from autoner_spark.tagger import tag_transcripts
+
+    spec = load_spec_from_files(
+        str(DATA / "BC5CDR" / "dict_core.txt"),
+        str(DATA / "BC5CDR" / "dict_full.txt"),
+        str(DATA / "stopwords.txt"),
+    )
+    trie = build_trie(spec)
+    sentences = parse_ck((DATA / "BC5CDR" / "truth_test.ck").read_text())
+
+    # gold typed spans via the reference's to_typed_span chunk decode
+    # (ner.py:176-238): Break starts a chunk, Ties extend it, typed chunks
+    # only
+    gold_rows = []
+    rows = []
+    for si, s in enumerate(sentences):
+        conv_id, turn_idx = f"s-{si // 100:04d}", si % 100
+        rows.append((conv_id, turn_idx, "user", " ".join(s["tokens"]),
+                     None, None))
+        toks, b, ty = s["tokens"], s["boundary"], s["types"]
+        i, n = 0, len(toks)
+        while i < n:
+            if b[i] == 1:
+                j = i + 1
+                while j < n and b[j] == -1:
+                    j += 1
+                if ty[i] != "None":
+                    gold_rows.append((conv_id, turn_idx, i, j, ty[i]))
+                i = j
+            else:
+                i += 1
+
+    df = spark.createDataFrame(rows, TRANSCRIPTS_DDL).repartition(8)
+    pred = tag_transcripts(df, trie)
+    gold = spark.createDataFrame(
+        gold_rows,
+        "conv_id string, turn_idx int, begin_tok int, end_tok int, "
+        "entity_type string",
+    )
+    s = span_prf(pred, gold)
+    assert abs(s["precision"] - 0.9393) < 5e-5, s
+    assert abs(s["recall"] - 0.5835) < 5e-5, s
+    assert abs(s["f1"] - 0.7198) < 5e-5, s
