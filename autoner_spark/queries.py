@@ -407,7 +407,7 @@ SQL_KG_CONVERSATION_ENTITIES = f"""
 WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE}
 SELECT conv_id,
        string_agg(DISTINCT surface, '|' ORDER BY surface) AS entities,
-       count(DISTINCT surface) AS n_entities
+       cast(count(DISTINCT surface) AS integer) AS n_entities
 FROM mentions
 GROUP BY conv_id
 """
@@ -484,8 +484,8 @@ def q_kg_turn_text_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KG_TURN_TEXT_EQUALITY = f"""
 WITH {TRANSCRIPTS_CTE}
 SELECT count(*) AS total_turns,
-       sum(CASE WHEN array_to_string(string_split(text, ' '), ' ') <> text
-                THEN 1 ELSE 0 END) AS mismatches
+       cast(sum(CASE WHEN array_to_string(string_split(text, ' '), ' ') <> text
+                THEN 1 ELSE 0 END) AS bigint) AS mismatches
 FROM transcripts
 """
 
@@ -607,7 +607,7 @@ def q_rel_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_REL_TOP_CUSTOMERS_WINDOW = """
-SELECT c_mktsegment, rnk, c_custkey, round(c_acctbal, 2) AS acctbal
+SELECT c_mktsegment, cast(rnk AS integer) AS rnk, c_custkey, round(c_acctbal, 2) AS acctbal
 FROM (
     SELECT c_mktsegment, c_custkey, c_acctbal,
            row_number() OVER (PARTITION BY c_mktsegment
@@ -826,7 +826,7 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIM_TOPK_COSINE = f"""
 WITH {_COSINE_PAIRS_CTE.format(maxq=10)}
-SELECT query_id, rnk, vec_id, round(cosine, 6) AS cosine
+SELECT query_id, cast(rnk AS integer) AS rnk, vec_id, round(cosine, 6) AS cosine
 FROM (
     SELECT query_id, vec_id, cosine,
            row_number() OVER (PARTITION BY query_id
@@ -906,8 +906,8 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_TOKEN_STATS = """
 SELECT doc_id AS id,
-       len(string_split(text, ' ')) AS n_tokens,
-       length(text) AS n_chars,
+       cast(len(string_split(text, ' ')) AS integer) AS n_tokens,
+       cast(length(text) AS integer) AS n_chars,
        round((length(text) - (len(string_split(text, ' ')) - 1))
              / len(string_split(text, ' ')), 4) AS avg_token_len
 FROM documents
@@ -932,7 +932,7 @@ agg AS (
            count(DISTINCT tok) AS n_distinct
     FROM toks GROUP BY id
 )
-SELECT id, n AS n_tokens,
+SELECT id, cast(n AS integer) AS n_tokens,
        round(n_sw / n, 6) AS stopword_ratio,
        round(n_distinct / n, 6) AS distinct_ratio,
        round((n_distinct / n) * (1 - n_sw / n), 6) AS quality
@@ -979,7 +979,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_FINGERPRINT = """
 SELECT doc_id AS id,
        md5(array_to_string(string_split(text, ' '), ' ')) AS fp,
-       len(string_split(text, ' ')) AS n_tokens,
+       cast(len(string_split(text, ' ')) AS integer) AS n_tokens,
        cast(floor(log2(length(text) + 1)) AS integer) AS len_bucket
 FROM documents
 """
@@ -1030,7 +1030,7 @@ WITH m AS (
            cast(('0x' || substring(md5(text), 1, 8)) AS bigint) AS hi
     FROM documents
 )
-SELECT item_id, unnest(generate_series(0, cast(hi % 240 + 1 AS integer) - 1, 30)) AS frame_idx
+SELECT item_id, cast(unnest(generate_series(0, cast(hi % 240 + 1 AS integer) - 1, 30)) AS integer) AS frame_idx
 FROM m WHERE modality = 'video'
 """
 
