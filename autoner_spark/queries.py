@@ -682,6 +682,70 @@ SELECT c_custkey FROM customer WHERE c_acctbal > 0
 """
 
 
+def q_rel_events_json_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage over the events stream table: JSON
+    extraction (props -> k) + event-time truncation + hash aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+SQL_REL_EVENTS_JSON_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(avg(cast(json_extract_string(props, '$.k') AS integer)), 4) AS avg_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_rel_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part + supplier dimension coverage: revenue by part type and
+    supplier nation (two broadcast dims against the lineitem fact)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("p_type", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_REL_PART_TYPE_REVENUE = """
+SELECT p_type, n_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY p_type, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup suite (documents)
 # ---------------------------------------------------------------------------
@@ -1060,6 +1124,8 @@ QUERIES = {
     "rel_order_revenue_join": q_rel_order_revenue_join,
     "rel_rollup_orders": q_rel_rollup_orders,
     "rel_setop_customers": q_rel_setop_customers,
+    "rel_events_json_hourly": q_rel_events_json_hourly,
+    "rel_part_type_revenue": q_rel_part_type_revenue,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1094,6 +1160,8 @@ ORACLE_SQL = {
     "rel_order_revenue_join": SQL_REL_ORDER_REVENUE_JOIN,
     "rel_rollup_orders": SQL_REL_ROLLUP_ORDERS,
     "rel_setop_customers": SQL_REL_SETOP_CUSTOMERS,
+    "rel_events_json_hourly": SQL_REL_EVENTS_JSON_HOURLY,
+    "rel_part_type_revenue": SQL_REL_PART_TYPE_REVENUE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
