@@ -861,6 +861,111 @@ FROM votes GROUP BY id
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors whose cosine >= 0.45
+    (the synthetic embeddings are near-orthogonal; max pairwise cosine ~0.51).
+    Brute-force pair scan (the correctness baseline; the LSH/IVF queries are
+    the scale path). Deterministic double math, rounded."""
+    from .similarity import with_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qvec"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("embedding"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs)
+        .filter(F.round(F.col("cosine"), 6) >= 0.45)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           cast(unnest(a.embedding) AS double) AS x,
+           cast(unnest(b.embedding) AS double) AS y
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT id_a, id_b,
+           sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+    FROM pairs GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM scored WHERE round(cosine, 6) >= 0.45
+"""
+
+
+def q_text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-minima fingerprint (winnowing-style rolling fingerprint):
+    the 3 smallest hashed trigram shingles per document, concatenated — a
+    content-locality-preserving dedup/sharding key."""
+    from .dedup import md5_int32, shingles_df
+
+    sh = shingles_df(load(spark, sf_dir, "documents"), n=3)
+    hashed = sh.withColumn("hv", md5_int32(F.col("shingle")))
+    return (
+        hashed.groupBy("id")
+        .agg(F.array_sort(F.collect_list("hv")).alias("hs"))
+        .select(
+            "id",
+            F.array_join(F.slice("hs", 1, 3), "-").alias("fp"),
+            F.size("hs").alias("n_shingles"),
+        )
+    )
+
+
+SQL_TEXT_WINNOW_FP = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, concat_ws(' ', tok, lead(tok, 1) OVER w,
+                             lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+hashed AS (
+    SELECT id, cast(('0x' || substring(md5(shingle), 1, 8)) AS bigint) AS hv
+    FROM sh
+)
+SELECT id,
+       string_agg(cast(hv AS varchar), '-' ORDER BY hv) FILTER (
+           WHERE rnk <= 3) AS fp,
+       cast(count(*) AS integer) AS n_shingles
+FROM (SELECT id, hv, row_number() OVER (PARTITION BY id ORDER BY hv) AS rnk
+      FROM hashed)
+GROUP BY id
+"""
+
+
+def q_text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (letter runs / digit runs / single other chars) — the pre-tokenizer
+    shape used when budgeting LLM training tokens."""
+    d = load(spark, sf_dir, "documents")
+    pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return d.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(pattern)).cast("int")
+        .alias("n_bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT_BPE = """
+SELECT doc_id AS id,
+       cast(len(string_split(text, ' ')) AS integer) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS integer) AS n_bpe_tokens
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -1130,6 +1235,9 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "text_winnow_fp": q_text_winnow_fp,
+    "text_token_count_bpe": q_text_token_count_bpe,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
     "text_token_stats": q_text_token_stats,
@@ -1166,6 +1274,9 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "text_winnow_fp": SQL_TEXT_WINNOW_FP,
+    "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
