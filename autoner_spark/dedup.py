@@ -37,11 +37,18 @@ def _tokens(text_col: str = "text") -> Column:
 def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(id, shingle): distinct n-token shingles per document (positional
-    slide over the token array, JVM-side)."""
+    slide over the token array, JVM-side).
+
+    Documents with fewer than ``n`` tokens yield NO shingles: the index
+    sequence is guarded with ``when(k >= 1, ...)`` because Spark's
+    ``sequence(0, -1)`` is the DESCENDING [0, -1] (not empty), which would
+    drive ``slice`` with an invalid start and abort the job — matching the
+    SQL twins' ``t3 IS NOT NULL`` filter instead."""
     toks = _tokens(text_col)
     k = F.size(toks) - (n - 1)
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        F.when(k >= 1, F.sequence(F.lit(0), k - 1))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return (

@@ -93,7 +93,23 @@ def tag_resumable(
     for bucket in range(n_buckets):
         if bucket in done:
             continue
-        sub = spark.read.parquet(os.path.join(base, f"bucket={bucket}"))
+        bucket_dir = os.path.join(base, f"bucket={bucket}")
+        if not os.path.isdir(bucket_dir):
+            # a hash bucket that received zero conversations writes no
+            # partition directory; record it as completed-empty instead of
+            # aborting the whole resumable run on PATH_NOT_FOUND.
+            _append_lineage(
+                out_dir,
+                {
+                    "bucket": bucket,
+                    "n_turns": 0,
+                    "n_mentions": 0,
+                    "wall_ms": 0,
+                    "finished_at": datetime.now(timezone.utc).isoformat(),
+                },
+            )
+            continue
+        sub = spark.read.parquet(bucket_dir)
         t0 = time.perf_counter()
         mentions = tag_transcripts(sub, trie)
         mentions.write.mode("overwrite").parquet(

@@ -72,6 +72,33 @@ def test_resume_skips_completed_buckets(spark, tmp_path):
     assert completed_buckets(out) == set(range(N_BUCKETS))
 
 
+def test_resume_tolerates_empty_buckets(spark, tmp_path):
+    """A hash bucket that received zero conversations has no bucket=N
+    directory; the resumable run must record it as completed-empty instead
+    of aborting on PATH_NOT_FOUND."""
+    out = str(tmp_path / "run")
+    trie = build_trie(synth.dict_spec())
+    transcripts = synth.synth_transcripts(spark, 3, partitions=2)
+    n_buckets = 16  # >> n_convs: some buckets are guaranteed empty
+    bucketize_transcripts(transcripts, out, n_buckets)
+
+    m = tag_resumable(spark, trie, out, n_buckets)
+    assert completed_buckets(out) == set(range(n_buckets))
+    lineage = read_lineage(out)
+    empties = [r for r in lineage if r["n_turns"] == 0]
+    assert empties, "fixture should produce at least one empty bucket"
+    assert all(r["n_mentions"] == 0 for r in empties)
+    assert sum(r["n_turns"] for r in lineage) == transcripts.count()
+
+    direct = {tuple(r) for r in tag_transcripts(transcripts, trie).collect()}
+    assert {tuple(r) for r in m.drop("bucket").collect()} == direct
+
+    # rerun: nothing recomputes, nothing breaks
+    m2 = tag_resumable(spark, trie, out, n_buckets)
+    assert {tuple(r) for r in m2.drop("bucket").collect()} == direct
+    assert len(read_lineage(out)) == n_buckets
+
+
 def test_metrics_table(spark, tmp_path):
     out = str(tmp_path / "run")
     trie = build_trie(synth.dict_spec())

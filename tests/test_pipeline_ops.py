@@ -50,6 +50,27 @@ def test_near_dup_methods_agree(spark, docs):
             assert jac.get(pair, 0) > 0.5
 
 
+def test_shingles_short_docs_yield_none(spark):
+    """Documents with fewer than n tokens must produce zero shingles (not
+    crash): Spark's sequence(0,-1) is descending, which would abort slice().
+    Matches the SQL twins' `t3 IS NOT NULL` semantics."""
+    from autoner_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, shingles_df
+
+    docs = spark.createDataFrame(
+        [(0, "one"), (1, "one two"), (2, "one two three"),
+         (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    got = {(r.id, r.shingle) for r in shingles_df(docs, n=3).collect()}
+    assert got == {
+        (2, "one two three"),
+        (3, "one two three"), (3, "two three four"),
+    }
+    # downstream ops must survive short docs too
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.1).count() >= 0
+    assert minhash_lsh_pairs(docs, num_hashes=4, band_size=2).count() >= 0
+
+
 def test_simhash_similar_docs_close(spark, docs):
     from autoner_spark.dedup import ngram_jaccard_pairs, simhash
 
