@@ -556,6 +556,37 @@ def q_kg_labels_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twins for the DP chain: the DP itself is not SQL-expressible, so
+# the oracle side reads a GOLDEN parquet table materialized by the
+# single-node Python oracle (autoner_spark/golden.py; regenerate with
+# `python tools/make_golden.py`) — the same oracle code that is pinned
+# byte-for-byte against the compiled C++ reference binary in pytest. The
+# driver gate therefore compares two independent implementations: the
+# distributed mapInArrow tagger vs the Python oracle replay. Golden tables
+# are materialized for sf0.01, the scale the driver gate runs at.
+GOLDEN_DIR = "/root/repo/golden/sf0.01"
+
+SQL_KG_TAG_MENTIONS_DP = f"""
+SELECT conv_id, turn_idx, begin_tok, end_tok, surface, entity_type
+FROM read_parquet('{GOLDEN_DIR}/kg_tag_mentions_dp.parquet')
+"""
+
+SQL_KG_TRIPLES_DP = f"""
+SELECT subj, pred, obj, conv_id, turn_idx
+FROM read_parquet('{GOLDEN_DIR}/kg_triples_dp.parquet')
+"""
+
+SQL_KG_MENTIONS_MARKUP = f"""
+SELECT conv_id, turn_idx, begin_tok, end_tok, surface, entity_type
+FROM read_parquet('{GOLDEN_DIR}/kg_mentions_markup.parquet')
+"""
+
+SQL_KG_LABELS_DP = f"""
+SELECT conv_id, turn_idx, tok_idx, token, boundary, entity_type, safe
+FROM read_parquet('{GOLDEN_DIR}/kg_labels_dp.parquet')
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY.md §2.6): joins, window, agg, sort/limit
 # ---------------------------------------------------------------------------
@@ -1260,9 +1291,14 @@ ORACLE_SQL = {
     "kg_conversation_entities": SQL_KG_CONVERSATION_ENTITIES,
     "kg_vocab_semijoin": SQL_KG_VOCAB_SEMIJOIN,
     "kg_turn_text_equality": SQL_KG_TURN_TEXT_EQUALITY,
-    # kg_tag_mentions_dp / kg_triples_dp: DP segmentation is not
-    # SQL-expressible; parity is proven in pytest against the compiled
-    # reference binary (tests/test_reference_binary.py, test_tagger_spark.py).
+    # DP chain: twin = golden parquet from the Python oracle (see
+    # autoner_spark/golden.py); DP parity vs the compiled reference binary
+    # is additionally pinned in pytest (tests/test_reference_binary.py,
+    # test_tagger_spark.py, test_golden.py).
+    "kg_tag_mentions_dp": SQL_KG_TAG_MENTIONS_DP,
+    "kg_triples_dp": SQL_KG_TRIPLES_DP,
+    "kg_mentions_markup": SQL_KG_MENTIONS_MARKUP,
+    "kg_labels_dp": SQL_KG_LABELS_DP,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
     "rel_top_customers_window": SQL_REL_TOP_CUSTOMERS_WINDOW,
     "rel_order_revenue_join": SQL_REL_ORDER_REVENUE_JOIN,
