@@ -35,7 +35,7 @@ def _tokens(text_col: str = "text") -> Column:
 
 
 def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text", distinct: bool = True) -> DataFrame:
     """(id, shingle): distinct n-token shingles per document (positional
     slide over the token array, JVM-side).
 
@@ -51,10 +51,13 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         .otherwise(F.array().cast("array<int>")),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    out = docs.select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
     )
+    # ``distinct=False`` skips the dedup shuffle for consumers whose
+    # aggregate is multiset-invariant (min-hash: min over duplicates ==
+    # min over the set).
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -72,7 +75,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -80,21 +83,35 @@ def ngram_jaccard_pairs(
 
     Fully relational: sizes per doc, intersection via shingle equi-join,
     union by inclusion-exclusion. ``max_shingle_df`` drops ubiquitous
-    shingles before the self-join (the scale guard)."""
+    shingles — ON BY DEFAULT, because the pair fan-out is sum(df^2) over
+    shingles and a single boilerplate shingle shared by 10^6 docs yields
+    10^12 pair rows at corpus scale. Sizes and intersections are both
+    computed post-filter, so the estimate stays a true Jaccard over the
+    retained shingle set. ``None`` disables.
+
+    Plan shape: NO self-join. The distinct (id, shingle) set is grouped by
+    shingle once; the grouped relation (one row per distinct shingle —
+    vocabulary-sized, orders of magnitude below the corpus) is persisted and
+    feeds both the in-row pair explosion (intersections) and the post-filter
+    doc sizes, so the scan->shingle lineage runs exactly once."""
     sh = shingles_df(docs, n, id_col, text_col)
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     if max_shingle_df:
-        rare = (
-            sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+        grouped = grouped.filter(F.size("ids") <= max_shingle_df)
+    grouped = grouped.persist()
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("sz"))
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -115,6 +132,17 @@ def ngram_jaccard_pairs(
     )
 
 
+# Universal-hash family over the 32-bit base shingle hash: identical
+# integer math in Spark and DuckDB ((2h+1)x + h*12582917 mod 2^31-1; all
+# intermediates < 2^38, safely inside int64).
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+MINHASH_SALT = 12_582_917
+
+
+def _salted_hash(x: Column, h: int) -> Column:
+    return ((2 * h + 1) * x + h * MINHASH_SALT) % MINHASH_MOD
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -122,17 +150,22 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, h, minhash): k salted min-hashes over n-gram shingles."""
-    sh = shingles_df(docs, n, id_col, text_col)
-    salted = sh.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        "shingle",
-    ).withColumn(
-        "hv",
-        md5_int32(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle"))),
+    """(id, m0..m{k-1}): k salted min-hashes over n-gram shingles, WIDE form.
+
+    One shuffle total: each shingle is md5-hashed ONCE (the expensive,
+    cross-engine-portable step); the k salted variants are derived with pure
+    integer arithmetic and reduced by k algebraic ``min`` aggregates in a
+    single ``groupBy(id)`` (map-side combined). Shingles are intentionally
+    NOT deduplicated first — min over a multiset equals min over the set,
+    so the distinct() shuffle is pure waste here."""
+    sh = shingles_df(docs, n, id_col, text_col, distinct=False)
+    base = sh.select("id", md5_int32(F.col("shingle")).alias("x"))
+    return base.groupBy("id").agg(
+        *[
+            F.min(_salted_hash(F.col("x"), h)).alias(f"m{h}")
+            for h in range(num_hashes)
+        ]
     )
-    return salted.groupBy("id", "h").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -140,6 +173,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     n: int = 3,
+    max_bucket_size: int | None = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -147,41 +181,53 @@ def minhash_lsh_pairs(
 
     Bands: the k minhashes are grouped into k/band_size bands; a band's
     bucket key is the md5 of its concatenated minhashes; docs colliding in a
-    band bucket are candidates. Shuffle key = (band, bucket) — hot buckets
-    (boilerplate docs) are the skew point; AQE skew-join handles moderate
-    skew, and a bucket-size cap is the production guard."""
+    band bucket are candidates.
+
+    Pairs are produced WITHOUT a self-join: ``groupBy(band, bucket)``
+    collects each bucket's member ids once, then explodes the in-bucket
+    pairs — the expensive scan->shingle->signature lineage is computed
+    exactly once (a self-join would recompute it per join side), and the
+    single shuffle key is (band, bucket). ``max_bucket_size`` is the skew
+    guard: a bucket larger than the cap (boilerplate text hashing
+    identically) would emit O(size^2) pairs, so it is dropped whole — at
+    corpus scale such buckets are exact-dup families that the cheaper
+    ``exact_dedup`` pass already collapses. Pass ``None`` to disable.
+
+    Plan shape: 3 shuffles end to end — groupBy(id) for the wide signature,
+    groupBy(band, bucket) for membership, groupBy(id_a, id_b) for the band
+    count. No self-join, no distinct, one md5 per shingle occurrence."""
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
-    banded = (
-        sig.withColumn("band", (F.col("h") / band_size).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            # deterministic order within band: aggregate min/max pattern not
-            # enough — collect h->minhash sorted by h
-            F.sort_array(
-                F.collect_list(F.struct(F.col("h"), F.col("minhash")))
-            ).alias("sig_parts")
-        )
-        .withColumn(
-            "bucket",
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.col("sig_parts"),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"m{h}").cast("string")
+                        for h in range(b * band_size, (b + 1) * band_size)
+                    ],
                 )
-            ),
+            ).alias("bucket"),
         )
-        .select("id", "band", "bucket")
+        for b in range(num_hashes // band_size)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
-    x, y = banded.alias("x"), banded.alias("y")
-    return (
-        x.join(y, ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .agg(F.count("*").alias("n_bands"))
+    sized = buckets.filter(F.size("ids") >= 2)
+    if max_bucket_size is not None:
+        sized = sized.filter(F.size("ids") <= max_bucket_size)
+    pairs = (
+        sized.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
     )
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",

@@ -85,8 +85,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan with a minimum-parallelism guard.
+
+    The test-scale parquet files are single row groups, so Spark's file
+    splitter gives the whole scan ONE task and every per-row-heavy map
+    stage (shingling, hashing, tokenization, DP tagging) runs on one core.
+    At production scale a table has thousands of row groups and this guard
+    is a structural no-op (scan splits >= cluster parallelism → no
+    repartition, no shuffle); when it does trigger, the shuffle it inserts
+    moves only the tiny input itself."""
+    df = load(spark, sf_dir, table)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     conv = F.concat(
         F.lit("conv-"),
         F.lpad(F.floor(F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"), 6, "0"),
@@ -289,8 +306,12 @@ SELECT surface, component FROM components
 
 def q_kg_triples_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(subj, pred, obj, conv_id, turn_idx) from the exact-match path:
-    subj = 'ent:' || component; has_type per type; mentioned_in per mention."""
-    m = exact_mentions_df(spark, sf_dir)
+    subj = 'ent:' || component; has_type per type; mentioned_in per mention.
+
+    The mentions lineage has two consumers (the CC node set and the linked
+    join), so it is persisted — one scan+window pass instead of two; the CC
+    edge-count action populates the cache."""
+    m = exact_mentions_df(spark, sf_dir).persist()
     comp = F.broadcast(surface_components_df(spark, m))
     linked = m.join(comp, "surface").withColumn(
         "subj", F.concat(F.lit("ent:"), F.col("component"))
@@ -785,7 +806,7 @@ GROUP BY p_type, n_name
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import exact_dedup
 
-    return exact_dedup(load(spark, sf_dir, "documents"))
+    return exact_dedup(load_parallel(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = """
@@ -797,8 +818,8 @@ FROM documents GROUP BY md5(text)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3,
-                               threshold=0.5)
+    return ngram_jaccard_pairs(load_parallel(spark, sf_dir, "documents"), n=3,
+                               threshold=0.5, max_shingle_df=1000)
 
 
 SQL_DEDUP_NGRAM_JACCARD = """
@@ -813,7 +834,11 @@ tri AS (
            lead(tok, 2) OVER w AS t3
     FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+sh0 AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+-- frequent-shingle guard (df > 1000 dropped), matching
+-- ngram_jaccard_pairs(max_shingle_df=1000); sizes are post-filter too
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
 sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
@@ -832,8 +857,9 @@ WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"),
-                             num_hashes=16, band_size=4, n=3)
+    return minhash_lsh_pairs(load_parallel(spark, sf_dir, "documents"),
+                             num_hashes=16, band_size=4, n=3,
+                             max_bucket_size=64)
 
 
 SQL_DEDUP_MINHASH_LSH = """
@@ -848,10 +874,17 @@ tri AS (
            lead(tok, 2) OVER w AS t3
     FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+-- non-distinct shingles: min over a multiset == min over the set
+sh AS (SELECT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+-- one md5 per shingle occurrence; 16 salted variants via integer math
+-- ((2h+1)x + h*12582917 mod 2^31-1), identical to dedup._salted_hash
+base AS (
+    SELECT id, cast(('0x' || substring(md5(shingle), 1, 8)) AS bigint) AS x
+    FROM sh
+),
 salted AS (
-    SELECT id, h, cast(('0x' || substring(md5(concat(cast(h AS varchar), ':', shingle)), 1, 8)) AS bigint) AS hv
-    FROM sh, unnest(range(0, 16)) AS u(h)
+    SELECT id, h, ((2 * h + 1) * x + h * 12582917) % 2147483647 AS hv
+    FROM base, unnest(range(0, 16)) AS u(h)
 ),
 sig AS (SELECT id, h, min(hv) AS minhash FROM salted GROUP BY id, h),
 banded AS (
@@ -859,10 +892,17 @@ banded AS (
     SELECT id, cast(floor(h / 4) AS integer) AS band,
            md5(string_agg(cast(minhash AS varchar), ',' ORDER BY h)) AS bucket
     FROM sig GROUP BY id, cast(floor(h / 4) AS integer)
+),
+-- bucket-size cap (skew guard): buckets larger than 64 are dropped whole,
+-- matching minhash_lsh_pairs(max_bucket_size=64)
+capped AS (
+    SELECT band, bucket FROM banded GROUP BY band, bucket
+    HAVING count(*) BETWEEN 2 AND 64
 )
 SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_bands
 FROM banded x JOIN banded y
   ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+JOIN capped c ON c.band = x.band AND c.bucket = x.bucket
 GROUP BY x.id, y.id
 """
 
@@ -870,7 +910,7 @@ GROUP BY x.id, y.id
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import simhash
 
-    return simhash(load(spark, sf_dir, "documents"))
+    return simhash(load_parallel(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_SIMHASH = """
@@ -899,7 +939,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path). Deterministic double math, rounded."""
     from .similarity import with_cosine
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_parallel(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qvec"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("embedding"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -934,7 +974,7 @@ def q_text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-locality-preserving dedup/sharding key."""
     from .dedup import md5_int32, shingles_df
 
-    sh = shingles_df(load(spark, sf_dir, "documents"), n=3)
+    sh = shingles_df(load_parallel(spark, sf_dir, "documents"), n=3)
     hashed = sh.withColumn("hv", md5_int32(F.col("shingle")))
     return (
         hashed.groupBy("id")
@@ -978,7 +1018,7 @@ def q_text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace words and a BPE-ish regex
     (letter runs / digit runs / single other chars) — the pre-tokenizer
     shape used when budgeting LLM training tokens."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     return d.select(
         F.col("doc_id").alias("id"),
@@ -1020,7 +1060,7 @@ scored AS (
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import brute_force_topk, queries_from_ids
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_parallel(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, queries_from_ids(emb, 10), k=5)
 
 
@@ -1039,7 +1079,7 @@ FROM (
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import ivf_topk
 
-    return ivf_topk(load(spark, sf_dir, "embeddings"), k=3, every=50,
+    return ivf_topk(load_parallel(spark, sf_dir, "embeddings"), k=3, every=50,
                     max_query_id=10)
 
 
@@ -1101,7 +1141,7 @@ FROM (
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import token_stats
 
-    return token_stats(load(spark, sf_dir, "documents"))
+    return token_stats(load_parallel(spark, sf_dir, "documents"))
 
 
 SQL_TEXT_TOKEN_STATS = """
@@ -1117,7 +1157,7 @@ FROM documents
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import quality_score
 
-    return quality_score(load(spark, sf_dir, "documents"))
+    return quality_score(load_parallel(spark, sf_dir, "documents"))
 
 
 SQL_TEXT_QUALITY = """
@@ -1143,7 +1183,7 @@ FROM agg
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import lang_id
 
-    return lang_id(load(spark, sf_dir, "documents"))
+    return lang_id(load_parallel(spark, sf_dir, "documents"))
 
 
 SQL_TEXT_LANGID = """
@@ -1173,7 +1213,7 @@ FROM agg
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import fingerprint
 
-    return fingerprint(load(spark, sf_dir, "documents"))
+    return fingerprint(load_parallel(spark, sf_dir, "documents"))
 
 
 SQL_TEXT_FINGERPRINT = """
@@ -1193,7 +1233,7 @@ FROM documents
 def q_mm_manifest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import synth_manifest
 
-    return synth_manifest(load(spark, sf_dir, "documents")).select(
+    return synth_manifest(load_parallel(spark, sf_dir, "documents")).select(
         "item_id", "modality", "width", "height", "n_frames"
     )
 
@@ -1218,7 +1258,7 @@ FROM m
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import frame_sample, synth_manifest
 
-    return frame_sample(synth_manifest(load(spark, sf_dir, "documents")),
+    return frame_sample(synth_manifest(load_parallel(spark, sf_dir, "documents")),
                         every=30)
 
 

@@ -132,7 +132,10 @@ def build_kg(spark, transcripts: DataFrame, spec: DictionarySpec,
     trie = trie or build_trie(spec)
     mentions = tag_transcripts(transcripts, trie)
     dict_df = dict_surfaces_df(spark, spec)
-    linked = link_mentions(mentions, dict_df)
+    # linked has three consumers (CC edge set, has_type, mentioned_in);
+    # persist so the tagger's mapInArrow pass runs ONCE, not per consumer —
+    # the CC edge-count action populates the cache.
+    linked = link_mentions(mentions, dict_df).persist()
     entities = canonical_entities(linked)
     triples = assemble_triples(linked, entities)
     return {

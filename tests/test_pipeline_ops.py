@@ -71,6 +71,29 @@ def test_shingles_short_docs_yield_none(spark):
     assert minhash_lsh_pairs(docs, num_hashes=4, band_size=2).count() >= 0
 
 
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """The max_bucket_size skew guard must actually drop oversized buckets:
+    100 byte-identical docs collide in every band, so an uncapped run emits
+    C(100,2) pairs per band while a cap of 10 emits none from that family."""
+    from autoner_spark.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "alpha beta gamma delta epsilon zeta") for i in range(100)]
+    near = [(200, "one two three four five six seven"),
+            (201, "one two three four five six eight")]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs, num_hashes=8, band_size=2,
+                                 max_bucket_size=None).collect()
+    capped = minhash_lsh_pairs(docs, num_hashes=8, band_size=2,
+                               max_bucket_size=10).collect()
+    boiler_pairs = [r for r in uncapped if r.id_a < 100 and r.id_b < 100]
+    assert len(boiler_pairs) == 100 * 99 // 2
+    assert not [r for r in capped if r.id_a < 100], "cap failed to drop hot bucket"
+    # the small genuine near-dup family survives the cap
+    assert {(r.id_a, r.id_b) for r in capped} == {(200, 201)}
+    assert {(r.id_a, r.id_b) for r in uncapped} >= {(200, 201)}
+
+
 def test_simhash_similar_docs_close(spark, docs):
     from autoner_spark.dedup import ngram_jaccard_pairs, simhash
 
