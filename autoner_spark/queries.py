@@ -1079,14 +1079,17 @@ FROM (
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import ivf_topk
 
-    return ivf_topk(load_parallel(spark, sf_dir, "embeddings"), k=3, every=50,
-                    max_query_id=10)
+    return ivf_topk(load_parallel(spark, sf_dir, "embeddings"), k=3,
+                    n_centroids=32, max_query_id=10)
 
 
 SQL_SIM_IVF_TOPK = """
 WITH cents AS (
+    -- fixed-k hash-ordered centroid sample, matching similarity.ivf_centroids
     SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
-    WHERE vec_id % 50 = 0
+    ORDER BY cast(('0x' || substring(md5(cast(vec_id AS varchar)), 1, 8)) AS bigint),
+             vec_id
+    LIMIT 32
 ),
 apairs AS (
     SELECT e.vec_id, c.centroid_id,

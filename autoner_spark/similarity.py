@@ -79,13 +79,25 @@ def queries_from_ids(embeddings: DataFrame, max_query_id: int,
     )
 
 
-def ivf_centroids(embeddings: DataFrame, every: int = 50,
+def ivf_centroids(embeddings: DataFrame, k: int = 32,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic coarse quantizer: every ``every``-th vector is a
-    centroid (stand-in for a k-means fit; the assignment/probe mechanics are
-    identical)."""
-    return embeddings.filter(F.col(id_col) % every == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    """Deterministic coarse quantizer: a FIXED-k hash-ordered sample
+    (stand-in for a k-means fit; the assignment/probe mechanics are
+    identical).
+
+    k is independent of N — the k vectors with the smallest md5(vec_id)
+    (a deterministic uniform draw, portable to the DuckDB twin). An
+    every-Nth rule would grow the centroid set O(N), making the broadcast
+    and the assignment cross product O(N^2/every) at corpus scale; fixed k
+    keeps assignment at O(N*k) with a constant-size broadcast. The sample
+    is found with a global TakeOrdered (O(N log k) per partition, no full
+    sort materialization)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+               ).cast("long")
+    return (
+        embeddings.orderBy(h, F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
     )
 
 
@@ -113,13 +125,13 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 3,
-    every: int = 50,
+    n_centroids: int = 32,
     max_query_id: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k probing only the query's own cluster (nprobe=1)."""
-    cents = ivf_centroids(embeddings, every, id_col, vec_col)
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     assign = ivf_assign(embeddings, cents, id_col, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")

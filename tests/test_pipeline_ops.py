@@ -130,12 +130,29 @@ def test_brute_force_topk_matches_numpy(spark, emb):
 def test_ivf_topk_subset_of_cluster(spark, emb):
     from autoner_spark.similarity import ivf_assign, ivf_centroids, ivf_topk
 
-    topk = ivf_topk(emb, k=3, every=50, max_query_id=5).collect()
+    topk = ivf_topk(emb, k=3, n_centroids=16, max_query_id=5).collect()
     assert topk
     assign = {r.vec_id: r.centroid_id for r in
-              ivf_assign(emb, ivf_centroids(emb, 50)).collect()}
+              ivf_assign(emb, ivf_centroids(emb, 16)).collect()}
     for r in topk:
         assert assign[r.query_id] == assign[r.vec_id]  # nprobe=1 invariant
+
+
+def test_ivf_centroid_count_independent_of_n(spark, emb):
+    """The coarse quantizer must stay FIXED-k as the corpus grows (an
+    every-Nth rule makes assignment O(N^2/every) at scale) and be a
+    deterministic subset choice."""
+    from autoner_spark.similarity import ivf_centroids
+
+    base = emb.select("vec_id", "embedding")
+    small = ivf_centroids(base.limit(100), k=16)
+    big = ivf_centroids(base.union(base.selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding")), k=16)
+    assert small.count() == 16
+    assert big.count() == 16  # doubled corpus, same centroid count
+    a = {r.centroid_id for r in ivf_centroids(emb, k=16).collect()}
+    b = {r.centroid_id for r in ivf_centroids(emb.repartition(7), k=16).collect()}
+    assert a == b  # partitioning-independent
 
 
 def test_langid_real_sentences(spark):
