@@ -968,6 +968,91 @@ FROM scored WHERE round(cosine, 6) >= 0.45
 """
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at SCALE: sign-LSH candidates + exact verify —
+    no crossJoin anywhere in the plan (contrast q_dedup_embedding_cosine,
+    the exhaustive exact baseline). The corpus is augmented with planted
+    rescaled duplicates (vec_id+100000, 1.25x) — sign-identical vectors
+    collide in every band, so their recall is structurally guaranteed."""
+    from .similarity import embedding_lsh_pairs
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    orig = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(1.25)
+        ).alias("embedding"),
+    )
+    return embedding_lsh_pairs(orig.unionByName(copies), threshold=0.99,
+                               bits_per_band=16, n_bands=4)
+
+
+SQL_DEDUP_EMBEDDING_LSH = """
+WITH aug AS (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(embedding, x -> cast(x AS double) * 1.25)
+    FROM embeddings WHERE vec_id < 25
+),
+ex AS (
+    SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+           unnest(embedding) AS x
+    FROM aug
+),
+-- in-engine hyperplanes: w[j][d] = md5_int32('j:d') / 2^31 - 1
+hyp AS (
+    SELECT j, d,
+           cast(('0x' || substring(md5(concat(j, ':', d)), 1, 8)) AS bigint)
+               / 2147483648.0 - 1.0 AS w
+    FROM range(0, 64) t1(j), range(0, 64) t2(d)
+),
+dots AS (
+    SELECT e.vec_id, h.j, sum(e.x * h.w) AS dot
+    FROM ex e JOIN hyp h USING (d)
+    GROUP BY e.vec_id, h.j
+),
+bits AS (
+    SELECT vec_id, j, CASE WHEN dot > 0 THEN 1 ELSE 0 END AS bit FROM dots
+),
+bucketed AS (
+    SELECT vec_id, cast(floor(j / 16) AS integer) AS band,
+           cast(sum(bit * cast(pow(2, j % 16) AS bigint)) AS bigint) AS bucket
+    FROM bits GROUP BY vec_id, cast(floor(j / 16) AS integer)
+),
+sizes AS (
+    SELECT band, bucket, count(*) AS n FROM bucketed GROUP BY band, bucket
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM bucketed x
+    JOIN bucketed y ON x.band = y.band AND x.bucket = y.bucket
+                   AND x.vec_id < y.vec_id
+    JOIN sizes s ON s.band = x.band AND s.bucket = x.bucket
+                AND s.n BETWEEN 2 AND 64
+),
+pairs AS (
+    SELECT c.id_a, c.id_b,
+           unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+    FROM cand c
+    JOIN aug a ON a.vec_id = c.id_a
+    JOIN aug b ON b.vec_id = c.id_b
+),
+scored AS (
+    SELECT id_a, id_b,
+           sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))) AS cosine
+    FROM pairs GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM scored WHERE round(cosine, 6) >= 0.99
+"""
+
+
 def q_text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-minima fingerprint (winnowing-style rolling fingerprint):
     the 3 smallest hashed trigram shingles per document, concatenated — a
@@ -1310,6 +1395,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "text_winnow_fp": q_text_winnow_fp,
     "text_token_count_bpe": q_text_token_count_bpe,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -1354,6 +1440,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "text_winnow_fp": SQL_TEXT_WINNOW_FP,
     "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,

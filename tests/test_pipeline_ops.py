@@ -155,6 +155,30 @@ def test_ivf_centroid_count_independent_of_n(spark, emb):
     assert a == b  # partitioning-independent
 
 
+def test_embedding_lsh_finds_rescaled_duplicates(spark, emb):
+    """Sign-LSH recall for sign-identical vectors is structural (every band
+    collides), and the plan must contain NO cartesian product — that is the
+    whole point vs the brute-force baseline."""
+    from pyspark.sql import functions as F
+
+    from autoner_spark.similarity import embedding_lsh_pairs
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    out = embedding_lsh_pairs(base.unionByName(copies), threshold=0.99)
+    got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    assert set(got) == {(i, i + 5000) for i in range(10)}
+    assert all(abs(c - 1.0) < 1e-6 for c in got.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_langid_real_sentences(spark):
     from autoner_spark.textstats import lang_id
 
