@@ -522,6 +522,25 @@ def q_kg_tag_mentions_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_transcripts(transcripts_df(spark, sf_dir), trie)
 
 
+def q_kg_tag_mentions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text ingestion (M12): transcripts are re-rendered as UNtokenized
+    punctuated prose (comma-joined words + trailing period) and tagged with
+    the char-class tokenizer (utils.h:195-247 semantics). Separator tokens
+    are dropped from the stream, so the result must equal the pre-tokenized
+    DP path exactly — the twin reads the SAME golden table."""
+    trie = build_trie(kg_dict_spec())
+    raw = transcripts_df(spark, sf_dir).withColumn(
+        "text", F.concat(F.regexp_replace(F.col("text"), " ", ", "), F.lit("."))
+    )
+    return tag_transcripts(raw, trie, tokenizer="charclass")
+
+
+SQL_KG_TAG_MENTIONS_RAW = """
+SELECT conv_id, turn_idx, begin_tok, end_tok, surface, entity_type
+FROM read_parquet('/root/repo/golden/sf0.01/kg_tag_mentions_dp.parquet')
+"""
+
+
 def q_kg_triples_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .triples import build_kg
 
@@ -1380,6 +1399,7 @@ QUERIES = {
     "kg_vocab_semijoin": q_kg_vocab_semijoin,
     "kg_turn_text_equality": q_kg_turn_text_equality,
     "kg_tag_mentions_dp": q_kg_tag_mentions_dp,
+    "kg_tag_mentions_raw": q_kg_tag_mentions_raw,
     "kg_triples_dp": q_kg_triples_dp,
     "kg_mentions_markup": q_kg_mentions_markup,
     "kg_labels_dp": q_kg_labels_dp,
@@ -1425,6 +1445,7 @@ ORACLE_SQL = {
     # is additionally pinned in pytest (tests/test_reference_binary.py,
     # test_tagger_spark.py, test_golden.py).
     "kg_tag_mentions_dp": SQL_KG_TAG_MENTIONS_DP,
+    "kg_tag_mentions_raw": SQL_KG_TAG_MENTIONS_RAW,
     "kg_triples_dp": SQL_KG_TRIPLES_DP,
     "kg_mentions_markup": SQL_KG_MENTIONS_MARKUP,
     "kg_labels_dp": SQL_KG_LABELS_DP,

@@ -39,7 +39,21 @@ from pyspark.sql.types import (
 )
 
 from .dictionary import TrieKB
-from .textutil import FILTERED_TYPE, is_separator_char
+from .textutil import (
+    FILTERED_TYPE,
+    is_separator_char,
+    simple_tokenize_non_sep,
+)
+
+# Turn-text tokenizers for the distributed tagger. "whitespace" is the
+# pre-tokenized input_hint path (generate.cpp:23-32 consumes one token per
+# line; per-turn text is space-joined tokens). "charclass" is the raw-text
+# ingestion path: the reference's simpleTokenizeNonSep (utils.h:195-247,
+# keepCapital so the trie's case-variant matching stays authoritative).
+TOKENIZERS = {
+    "whitespace": lambda x: [w for w in x.split(" ") if w],
+    "charclass": lambda x: simple_tokenize_non_sep(x, keep_capital=True),
+}
 
 MENTIONS_SCHEMA = StructType(
     [
@@ -190,6 +204,7 @@ def tag_transcripts(
     weight: float = 1.0,
     spark: SparkSession | None = None,
     passthrough: tuple[str, ...] = (),
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) -> mentions DataFrame.
 
@@ -203,6 +218,7 @@ def tag_transcripts(
     spark = spark or transcripts.sparkSession
     compiled = compile_trie(trie)
     bc = spark.sparkContext.broadcast(compiled)
+    tokenize = TOKENIZERS[tokenizer]
 
     if not passthrough:
         # hot path: mapInArrow skips the Arrow<->pandas conversions on both
@@ -235,7 +251,7 @@ def tag_transcripts(
                 for c, t, x in zip(conv, turn, text):
                     if not x:
                         continue
-                    tokens = [w for w in x.split(" ") if w]
+                    tokens = tokenize(x)
                     for b, e, surf, ts in tag_tokens_compiled(tokens, comp, weight):
                         cc.append(c)
                         tt.append(t)
@@ -282,7 +298,7 @@ def tag_transcripts(
             ):
                 if not text:
                     continue
-                tokens = [t for t in text.split(" ") if t]
+                tokens = tokenize(text)
                 for b, e, surf, ts in tag_tokens_compiled(tokens, compiled, weight):
                     conv_ids.append(conv_id)
                     turn_idxs.append(int(turn_idx))

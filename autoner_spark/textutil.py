@@ -86,6 +86,40 @@ def split_by(s: str, sep: str) -> list[str]:
     return [t for t in s.split(sep) if t]
 
 
+def simple_tokenize(s: str) -> list[str]:
+    """Char-class tokenizer — mirrors `simpleTokenize` (utils.h:195-231).
+
+    Every separator char (C isspace or SEPARATORS) becomes its OWN
+    single-char token; maximal runs of non-separator chars become tokens.
+    Length-preserving: ''.join(result) == s (the reference asserts this).
+    """
+    ret: list[str] = []
+    token: list[str] = []
+    for ch in s:
+        if is_separator_char(ch):
+            if token:
+                ret.append("".join(token))
+                token = []
+            ret.append(ch)
+        else:
+            token.append(ch)
+    if token:
+        ret.append("".join(token))
+    return ret
+
+
+def simple_tokenize_non_sep(s: str, keep_capital: bool = False) -> list[str]:
+    """Mirrors `simpleTokenizeNonSep` (utils.h:233-247): char-class
+    tokenize, drop separator tokens EXCEPT the "\\n" sentinel
+    (isRealSeparator), and lowercase unless ``keep_capital``."""
+    out: list[str] = []
+    for tok in simple_tokenize(s):
+        if is_separator_token(tok) and not is_real_separator(tok):
+            continue
+        out.append(tok if keep_capital else ascii_lower(tok))
+    return out
+
+
 def tokenize_turn(text: str) -> list[str]:
     """One transcript turn -> token list.
 

@@ -36,6 +36,17 @@ def test_golden_matches_spark(spark, golden_small, name):
     assert got == want
 
 
+def test_raw_ingestion_reproduces_pretokenized(spark, golden_small):
+    """Char-class raw-text ingestion (kg_tag_mentions_raw): punctuated
+    untokenized prose must yield exactly the pre-tokenized DP mentions
+    (separator tokens are dropped from the stream)."""
+    got = sorted(
+        tuple(r)
+        for r in Q.q_kg_tag_mentions_raw(spark, SF_SMALL).collect()
+    )
+    assert got == sorted(golden_small["kg_tag_mentions_dp"])
+
+
 @pytest.mark.parametrize("name", sorted(golden.GOLDEN_BUILDERS))
 def test_committed_golden_not_stale(name):
     """The sf0.01 parquet files the oracle_sql() twins read must match a
