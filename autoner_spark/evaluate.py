@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SPAN_KEYS = ["conv_id", "turn_idx", "begin_tok", "end_tok", "entity_type"]
 _SMOOTH = 0.000001  # utils.py:171-173
@@ -37,6 +38,56 @@ def span_prf(pred: DataFrame, gold: DataFrame,
         ("precision", "recall", "f1"),
         _prf(float(overlap), float(p.count()), float(g.count())),
     ))
+
+
+def spans_from_labels(labels_long: DataFrame) -> DataFrame:
+    """Tie-or-Break labels (long form: conv_id, turn_idx, tok_idx, boundary,
+    entity_type) -> typed spans, the relational analogue of
+    ``NER.to_span``/``to_typed_span`` (model_partial_ner/ner.py:176-239):
+    consecutive Break positions (boundary == 1) delimit segments, a
+    segment's type is the type at its start, and None-typed segments are
+    not emitted. The final segment is closed at the turn end (the
+    reference's <eof> break). One window pass + one length join; no UDF.
+    """
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("tok_idx")
+    lens = labels_long.groupBy("conv_id", "turn_idx").agg(
+        (F.max("tok_idx") + 1).alias("n_toks")
+    )
+    breaks = labels_long.filter(F.col("boundary") == 1).select(
+        "conv_id", "turn_idx", "tok_idx", "entity_type"
+    )
+    sp = (
+        breaks.withColumn("next_break", F.lead("tok_idx").over(w))
+        .join(lens, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx",
+            F.col("tok_idx").alias("begin_tok"),
+            F.coalesce("next_break", "n_toks").cast("int").alias("end_tok"),
+            "entity_type",
+        )
+    )
+    return sp.filter(F.col("entity_type") != "None")
+
+
+def single_row_prf(pred: DataFrame, gold: DataFrame,
+                   keys: list[str]) -> DataFrame:
+    """(gold_cnt, guess_cnt, overlap_cnt, precision, recall, f1) as ONE row
+    — the overall-metric shape of evaluate_chunking / evaluate_typing
+    (model_partial_ner/utils.py:28-117), +1e-6 smoothing included."""
+    p = pred.select(*keys).distinct()
+    g = gold.select(*keys).distinct()
+    guess = p.agg(F.count("*").alias("guess_cnt"))
+    golds = g.agg(F.count("*").alias("gold_cnt"))
+    over = p.join(g, keys, "inner").agg(F.count("*").alias("overlap_cnt"))
+    row = golds.crossJoin(guess).crossJoin(over)
+    pre = F.col("overlap_cnt") / (F.col("guess_cnt") + F.lit(_SMOOTH))
+    rec = F.col("overlap_cnt") / (F.col("gold_cnt") + F.lit(_SMOOTH))
+    return row.select(
+        "gold_cnt", "guess_cnt", "overlap_cnt",
+        F.round(pre, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * pre * rec / (pre + rec + F.lit(_SMOOTH)), 6).alias("f1"),
+    )
 
 
 def per_type_prf(pred: DataFrame, gold: DataFrame,

@@ -485,6 +485,118 @@ FROM j
 """
 
 
+# chunking / typing eval breakdowns (model_partial_ner/utils.py:28-117):
+# spans are derived from the Tie-or-Break LABELS table (to_span semantics),
+# so the Spark side exercises the full DP labeling chain while the DuckDB
+# twin derives the same spans from the golden labels parquet with identical
+# relational SQL.
+
+_SPANS_FROM_GOLDEN_LABELS_CTE = f"""
+l AS (SELECT * FROM read_parquet('{{golden_dir}}/kg_labels_dp.parquet')),
+lens AS (
+    SELECT conv_id, turn_idx, max(tok_idx) + 1 AS n_toks
+    FROM l GROUP BY conv_id, turn_idx
+),
+breaks AS (
+    SELECT conv_id, turn_idx, tok_idx, entity_type FROM l WHERE boundary = 1
+),
+sp AS (
+    SELECT b.conv_id, b.turn_idx, b.tok_idx AS begin_tok,
+           cast(coalesce(
+               lead(b.tok_idx) OVER (PARTITION BY b.conv_id, b.turn_idx
+                                     ORDER BY b.tok_idx),
+               lens.n_toks) AS integer) AS end_tok,
+           b.entity_type
+    FROM breaks b JOIN lens USING (conv_id, turn_idx)
+),
+spans AS (SELECT * FROM sp WHERE entity_type <> 'None')
+"""
+
+
+def _label_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .evaluate import spans_from_labels
+
+    return spans_from_labels(q_kg_labels_dp(spark, sf_dir))
+
+
+def q_kg_eval_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking-level eval (utils.py:28-72): UNTYPED span P/R/F1. pred =
+    spans from the DP labels; gold = the deterministic subset
+    (begin_tok % 3 != 0), mirroring kg_eval_pr's split."""
+    from .evaluate import single_row_prf
+
+    spans = _label_spans(spark, sf_dir).persist()
+    pred = spans.select("conv_id", "turn_idx", "begin_tok", "end_tok")
+    gold = pred.filter(F.col("begin_tok") % 3 != 0)
+    return single_row_prf(pred, gold,
+                          ["conv_id", "turn_idx", "begin_tok", "end_tok"])
+
+
+SQL_KG_EVAL_CHUNKING_TMPL = f"""
+WITH {_SPANS_FROM_GOLDEN_LABELS_CTE},
+pred AS (SELECT DISTINCT conv_id, turn_idx, begin_tok, end_tok FROM spans),
+gold AS (SELECT * FROM pred WHERE begin_tok % 3 <> 0),
+c AS (
+    SELECT (SELECT count(*) FROM gold) AS gold_cnt,
+           (SELECT count(*) FROM pred) AS guess_cnt,
+           (SELECT count(*) FROM pred JOIN gold
+              USING (conv_id, turn_idx, begin_tok, end_tok)) AS overlap_cnt
+)
+SELECT gold_cnt, guess_cnt, overlap_cnt,
+       round(overlap_cnt / (guess_cnt + 0.000001), 6) AS precision,
+       round(overlap_cnt / (gold_cnt + 0.000001), 6) AS recall,
+       round(2 * (overlap_cnt / (guess_cnt + 0.000001))
+               * (overlap_cnt / (gold_cnt + 0.000001))
+             / ((overlap_cnt / (guess_cnt + 0.000001))
+                + (overlap_cnt / (gold_cnt + 0.000001)) + 0.000001), 6) AS f1
+FROM c
+"""
+
+
+def q_kg_eval_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typing-level eval (utils.py:74-117): typed spans over the SAME
+    (gold) chunking, with a deterministic typing disagreement planted on a
+    third of the spans (begin_tok % 3 == 0 -> 'Metric') on the gold side."""
+    from .evaluate import single_row_prf
+
+    spans = _label_spans(spark, sf_dir).persist()
+    keys = ["conv_id", "turn_idx", "begin_tok", "end_tok", "entity_type"]
+    gold = spans.withColumn(
+        "entity_type",
+        F.when(F.col("begin_tok") % 3 == 0, F.lit("Metric"))
+        .otherwise(F.col("entity_type")),
+    )
+    return single_row_prf(spans, gold, keys)
+
+
+SQL_KG_EVAL_TYPING_TMPL = f"""
+WITH {_SPANS_FROM_GOLDEN_LABELS_CTE},
+pred AS (SELECT DISTINCT conv_id, turn_idx, begin_tok, end_tok, entity_type
+         FROM spans),
+gold AS (
+    SELECT DISTINCT conv_id, turn_idx, begin_tok, end_tok,
+           CASE WHEN begin_tok % 3 = 0 THEN 'Metric' ELSE entity_type END
+               AS entity_type
+    FROM spans
+),
+c AS (
+    SELECT (SELECT count(*) FROM gold) AS gold_cnt,
+           (SELECT count(*) FROM pred) AS guess_cnt,
+           (SELECT count(*) FROM pred JOIN gold
+              USING (conv_id, turn_idx, begin_tok, end_tok, entity_type))
+               AS overlap_cnt
+)
+SELECT gold_cnt, guess_cnt, overlap_cnt,
+       round(overlap_cnt / (guess_cnt + 0.000001), 6) AS precision,
+       round(overlap_cnt / (gold_cnt + 0.000001), 6) AS recall,
+       round(2 * (overlap_cnt / (guess_cnt + 0.000001))
+               * (overlap_cnt / (gold_cnt + 0.000001))
+             / ((overlap_cnt / (guess_cnt + 0.000001))
+                + (overlap_cnt / (gold_cnt + 0.000001)) + 0.000001), 6) AS f1
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # invariant check: per-turn text equality (input_hint)
 # ---------------------------------------------------------------------------
@@ -1394,6 +1506,8 @@ QUERIES = {
     "kg_canonicalize_cc": q_kg_canonicalize_cc,
     "kg_triples_exact": q_kg_triples_exact,
     "kg_eval_pr": q_kg_eval_pr,
+    "kg_eval_chunking": q_kg_eval_chunking,
+    "kg_eval_typing": q_kg_eval_typing,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_conversation_entities": q_kg_conversation_entities,
     "kg_vocab_semijoin": q_kg_vocab_semijoin,
@@ -1436,6 +1550,8 @@ ORACLE_SQL = {
     "kg_canonicalize_cc": SQL_KG_CANONICALIZE_CC,
     "kg_triples_exact": SQL_KG_TRIPLES_EXACT,
     "kg_eval_pr": SQL_KG_EVAL_PR,
+    "kg_eval_chunking": SQL_KG_EVAL_CHUNKING_TMPL.format(golden_dir=GOLDEN_DIR),
+    "kg_eval_typing": SQL_KG_EVAL_TYPING_TMPL.format(golden_dir=GOLDEN_DIR),
     "kg_cooccurrence": SQL_KG_COOCCURRENCE,
     "kg_conversation_entities": SQL_KG_CONVERSATION_ENTITIES,
     "kg_vocab_semijoin": SQL_KG_VOCAB_SEMIJOIN,

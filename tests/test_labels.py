@@ -87,3 +87,37 @@ def test_ck_lines_empty_turn(spark):
     lab = label_transcripts(t, trie)
     row = ck_lines(lab).collect()[0]
     assert row.ck == "\n"  # just the sentinel's blank line (writer adds \n)
+
+
+def test_spans_from_labels_to_span_semantics(spark):
+    """Relational to_span analogue (ner.py:176-239): Breaks delimit
+    segments, segment type = type at start, None-typed segments dropped,
+    final segment closed at turn end."""
+    from autoner_spark.evaluate import spans_from_labels
+
+    rows = [
+        # turn 0: [0,2) Operator, [2,3) None, [3,5) Object (closed at end)
+        ("c", 0, 0, "hash", 1, "Operator", True),
+        ("c", 0, 1, "join", -1, "Operator", True),
+        ("c", 0, 2, "the", 1, "None", True),
+        ("c", 0, 3, "big", 1, "Object", True),
+        ("c", 0, 4, "table", -1, "Object", True),
+        # turn 1: unknown region (boundary 0) folds into preceding segment
+        ("c", 1, 0, "stream", 1, "Object,Operator", True),
+        ("c", 1, 1, "slow", 0, "None", False),
+        ("c", 1, 2, "merge", 0, "None", False),
+    ]
+    labels = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tok_idx int, token string, "
+        "boundary int, entity_type string, safe boolean",
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.begin_tok, r.end_tok, r.entity_type)
+        for r in spans_from_labels(labels).collect()
+    }
+    assert got == {
+        ("c", 0, 0, 2, "Operator"),
+        ("c", 0, 3, 5, "Object"),
+        ("c", 1, 0, 3, "Object,Operator"),
+    }
