@@ -1,0 +1,57 @@
+"""Catalog shim: conf shape, backend selection, fallback round-trip, and a
+jar-gated Iceberg writeTo test (skips when no Iceberg runtime jar)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from autoner_spark import synth
+from autoner_spark.catalog import (
+    ICEBERG_CATALOG_IMPL,
+    TableCatalog,
+    catalog_conf,
+    iceberg_available,
+)
+
+
+def test_catalog_conf_shape():
+    conf = catalog_conf("/tmp/wh", name="autoner")
+    assert conf["spark.sql.catalog.autoner"] == ICEBERG_CATALOG_IMPL
+    assert conf["spark.sql.catalog.autoner.type"] == "hadoop"
+    assert conf["spark.sql.catalog.autoner.warehouse"] == "/tmp/wh"
+
+
+def test_parquet_fallback_roundtrip(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "wh"), force_parquet=True)
+    t = synth.synth_transcripts(spark, 10, partitions=2).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    )
+    assert not cat.exists("transcripts")
+    cat.create_or_replace(t, "transcripts", partition_by=("bucket",))
+    assert cat.exists("transcripts")
+    back = cat.read("transcripts")
+    assert back.count() == t.count()
+    # partition pruning must reach the scan in the fallback layout too
+    plan = back.filter(F.col("bucket") == 1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+    before = cat.read("transcripts").count()
+    cat.append(t.filter(F.col("bucket") == 0).drop("bucket"), "extra")
+    cat.append(t.filter(F.col("bucket") == 1).drop("bucket"), "extra")
+    assert cat.read("extra").count() == t.filter("bucket <= 1").count()
+    assert cat.read("transcripts").count() == before
+
+
+def test_iceberg_writeto_path(spark, tmp_path):
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar on the classpath")
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    assert cat.use_iceberg
+    t = synth.synth_transcripts(spark, 10, partitions=2).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    )
+    cat.create_or_replace(t, "transcripts", partition_by=("bucket",))
+    assert cat.read("transcripts").count() == t.count()
+    cat.append(t.limit(5), "transcripts")
+    assert cat.read("transcripts").count() == t.count() + 5
