@@ -55,12 +55,17 @@ def connected_components(
     sym = sym.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     sym = sym.distinct()
 
-    if driver_threshold and sym.limit(driver_threshold + 1).count() <= driver_threshold:
-        pairs = [(r.src, r.dst) for r in sym.collect()]
-        labels = _union_find_labels(pairs)
-        return edges.sparkSession.createDataFrame(
-            sorted(labels.items()), "node string, comp string"
-        )
+    if driver_threshold:
+        # ONE job decides the path AND fetches the edges: collect at most
+        # threshold+1 distinct edges; only if the limit is hit do we pay for
+        # the distributed propagation. (A separate count() job would
+        # recompute the whole distinct-edge lineage a second time.)
+        head = sym.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            labels = _union_find_labels([(r.src, r.dst) for r in head])
+            return edges.sparkSession.createDataFrame(
+                sorted(labels.items()), "node string, comp string"
+            )
 
     sym = sym.localCheckpoint(eager=True)
 

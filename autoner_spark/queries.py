@@ -177,34 +177,41 @@ mentions AS (
 def exact_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All exact unigram/bigram dictionary occurrences (overlaps allowed).
 
-    Pure relational and single-pass: posexplode -> ONE window lead -> unpivot
-    each position into its (unigram, bigram) candidate surfaces -> ONE
-    broadcast join with the dictionary. No UDF; whole-stage codegen end to
-    end; one shuffle (the window) regardless of how many n-gram widths are
-    matched — at 100 TB the candidate explode is cheaper than running the
-    window once per width.
+    Pure relational and SHUFFLE-FREE before the dictionary join: the
+    (unigram, bigram) candidates at each position are built in-row from the
+    token array (element_at on i and i+1 — a turn's tokens are already
+    co-located in its row, so a window/lead shuffle would be pure waste),
+    exploded, and broadcast-joined with the dictionary. No UDF; whole-stage
+    codegen end to end; zero shuffles regardless of n-gram width count.
     """
     t = transcripts_df(spark, sf_dir)
-    toks = t.select(
-        "conv_id", "turn_idx",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    cands_arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(toks, i + 1).alias("t1"),
+            F.element_at(toks, F.when(i + 2 <= n, i + 2)).alias("t2"),
+        ),
     )
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
-    big = toks.withColumn("next_token", F.lead("token").over(w))
-    uni_c = F.struct(F.col("token").alias("surface"), F.lit(1).alias("w"))
+    ex = t.select(
+        "conv_id", "turn_idx", F.explode(cands_arr).alias("c")
+    )
+    uni_c = F.struct(F.col("c.t1").alias("surface"), F.lit(1).alias("w"))
     bi_c = F.struct(
-        F.concat_ws(" ", F.col("token"), F.col("next_token")).alias("surface"),
+        F.concat_ws(" ", F.col("c.t1"), F.col("c.t2")).alias("surface"),
         F.lit(2).alias("w"),
     )
-    cands = big.select(
-        "conv_id", "turn_idx", "pos",
+    cands = ex.select(
+        "conv_id", "turn_idx", F.col("c.pos").alias("pos"),
         F.explode(
-            F.when(F.col("next_token").isNotNull(), F.array(uni_c, bi_c))
+            F.when(F.col("c.t2").isNotNull(), F.array(uni_c, bi_c))
             .otherwise(F.array(uni_c))
-        ).alias("c"),
+        ).alias("s"),
     ).select(
         "conv_id", "turn_idx", "pos",
-        F.col("c.surface").alias("surface"), F.col("c.w").alias("w"),
+        F.col("s.surface").alias("surface"), F.col("s.w").alias("w"),
     )
     dict_df = F.broadcast(exact_dict_df(spark))
     return cands.join(dict_df, "surface").select(
