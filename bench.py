@@ -66,16 +66,20 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def time_query(fn, spark, sf_dir, runs: int = 3) -> float:
-    """Median of ``runs`` one-shot executions. One-shot Spark timings at
-    small SF are dominated by codegen/plan compile on the first run and OS
-    noise after it; the median is the number that extrapolates."""
-    times = []
+def time_queries(names, spark, sf_dir, runs: int = 3) -> dict[str, float]:
+    """Median of ``runs`` one-shot executions per query, ROUND-ROBIN across
+    queries: this VM shows multi-minute throttling windows, and running a
+    query's repetitions back-to-back lets one window poison all of them
+    (observed: 12s median for a query that measures 0.96s in isolation).
+    Interleaving decorrelates the window from any single query; the median
+    then discards it."""
+    times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(runs):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+        for name in names:
+            t0 = time.perf_counter()
+            Q.QUERIES[name](spark, sf_dir).count()
+            times[name].append(time.perf_counter() - t0)
+    return {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in times.items()}
 
 
 def time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -181,9 +185,7 @@ def main() -> None:
     # session warmup so the first headline query isn't charged JVM/worker
     # startup
     Q.QUERIES["kg_tag_mentions_dp"](spark, sf_dir).count()
-    qtimes: dict[str, float] = {}
-    for name in HEADLINE:
-        qtimes[name] = round(time_query(Q.QUERIES[name], spark, sf_dir), 3)
+    qtimes = time_queries(HEADLINE, spark, sf_dir)
 
     # --- scaling corpus (built once, deterministic; the path encodes the
     # generation parameters so a stale cache is never silently reused) ---
