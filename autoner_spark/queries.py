@@ -936,6 +936,140 @@ GROUP BY p_type, n_name
 """
 
 
+def q_rel_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / correlated-semi-join coverage (TPC-H Q4 shape): orders with
+    at least one returned lineitem, counted per priority. The semi join
+    shuffles on the join key only and never widens the orders row."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_REL_ORDERS_EXISTS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_rel_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / anti-join coverage: customers with no large order
+    (o_totalprice > 300000), per market segment. The filter is pushed below
+    the anti-join's build side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big_orders = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(big_orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_REL_CUSTOMERS_NO_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery coverage (TPC-H Q17 shape): revenue from
+    below-one-fifth-of-average-quantity orders of one brand's parts. The
+    Spark side is explicitly DECORRELATED — per-part thresholds via one
+    aggregation, then a broadcast-joined filter — which is the plan shape
+    the optimizer must reach at scale (a per-row subquery is quadratic).
+    The threshold is rounded (6dp) on both engines so float summation order
+    cannot flip the comparison."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    thr = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("thr")
+    )
+    brand = p.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_REL_SMALL_QTY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 6)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_dedup_apply_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the near-dup dedup: retain documents that are not the
+    higher-id member of any >=0.5-Jaccard pair (standard MinHash-dedup
+    retention rule: keep the smallest id per near-dup family edge). The
+    victims set is tiny relative to the corpus -> broadcast anti-join; the
+    corpus itself never shuffles."""
+    from .dedup import ngram_jaccard_pairs
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    victims = ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                  max_shingle_df=1000).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    return (
+        docs.join(F.broadcast(victims), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
+SQL_DEDUP_APPLY_NGRAM = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, pos, concat_ws(' ', tok,
+           lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh0 AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+victims AS (
+    SELECT DISTINCT id_b AS doc_id
+    FROM inter
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b
+    WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup suite (documents)
 # ---------------------------------------------------------------------------
@@ -1531,7 +1665,11 @@ QUERIES = {
     "rel_setop_customers": q_rel_setop_customers,
     "rel_events_json_hourly": q_rel_events_json_hourly,
     "rel_part_type_revenue": q_rel_part_type_revenue,
+    "rel_orders_exists": q_rel_orders_exists,
+    "rel_customers_no_orders": q_rel_customers_no_orders,
+    "rel_small_qty_revenue": q_rel_small_qty_revenue,
     "dedup_exact": q_dedup_exact,
+    "dedup_apply_ngram": q_dedup_apply_ngram,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -1579,7 +1717,11 @@ ORACLE_SQL = {
     "rel_setop_customers": SQL_REL_SETOP_CUSTOMERS,
     "rel_events_json_hourly": SQL_REL_EVENTS_JSON_HOURLY,
     "rel_part_type_revenue": SQL_REL_PART_TYPE_REVENUE,
+    "rel_orders_exists": SQL_REL_ORDERS_EXISTS,
+    "rel_customers_no_orders": SQL_REL_CUSTOMERS_NO_ORDERS,
+    "rel_small_qty_revenue": SQL_REL_SMALL_QTY_REVENUE,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_apply_ngram": SQL_DEDUP_APPLY_NGRAM,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
