@@ -53,9 +53,14 @@ def mention_rate(mentions_stream: DataFrame, window: str = "1 minute",
 
 
 def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str,
-                      output_mode: str = "append") -> None:
+                      output_mode: str = "append", wait: bool = True):
     """Drain everything currently available into an in-memory table and
-    stop — the batch-equivalence harness for tests."""
+    stop — the batch-equivalence harness for tests.
+
+    ``wait=False`` returns the running query instead of blocking: REQUIRED
+    for stateful queries with ProcessingTimeTimeout, which availableNow
+    never self-terminates (timeout-servicing batches keep it alive after
+    the source drains) — the caller polls the sink and stops the query."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -64,4 +69,6 @@ def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if wait:
+        q.awaitTermination()
+    return q
