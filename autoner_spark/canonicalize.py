@@ -99,6 +99,100 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating Large-Star / Small-Star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    (node, comp) with comp = min node of the component.
+
+    The giant-component-safe distributed path: hash-min label propagation
+    converges in O(diameter) rounds (a 10^6-long chain needs 10^6 rounds);
+    the star operations converge in O(log n) rounds on any graph. Each
+    round is two aggregate+join passes over the edge list — per-node
+    neighbor minima only, never a collected neighbor list, so a hot node
+    with 10^9 neighbors costs one min-aggregate (map-side combined), not a
+    driver-sized array.
+
+    large-star: every neighbor v > u re-attaches to m = min(Γ(u) ∪ {u});
+    small-star: every neighbor v <= u (and u itself) attaches to m.
+    At the fixpoint the edge set is exactly {(child, root)}.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # drop self-loops; keep one undirected copy oriented big->small
+    e = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _min_link(ed: DataFrame) -> DataFrame:
+        """m(u) = min(Γ(u) ∪ {u}) over the SYMMETRIZED edge set."""
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+
+    def _signature(ed: DataFrame) -> tuple:
+        row = ed.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-insensitive set signature, cannot overflow
+            # (ANSI mode makes a sum() of hashes throw on long overflow)
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = None
+    for _ in range(max_iter):
+        # LARGE-STAR: neighbors strictly greater than u attach to m(u)
+        m = _min_link(e)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # SMALL-STAR: u and its smaller neighbors attach to m(u)
+        m = _min_link(e)
+        small = (
+            e.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = small
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )
+
+
 def _union_find_labels(pairs: list[tuple[str, str]]) -> dict[str, str]:
     """Min-label union-find over symmetrized edge pairs (driver-side path)."""
     parent: dict[str, str] = {}

@@ -47,6 +47,31 @@ def test_connected_components_random_graph_both_paths_agree(spark):
     assert all(min(v) == k for k, v in comps.items())  # min-label invariant
 
 
+def test_connected_components_star_agrees(spark):
+    """Large-star/small-star (the giant-component path) must produce the
+    identical min-label components as union-find, on a random graph, a hot
+    star, a long chain (hash-min's worst case), and isolated self-loops."""
+    import random
+
+    from autoner_spark.canonicalize import connected_components_star
+
+    rng = random.Random(13)
+    nodes = [f"n{i:04d}" for i in range(800)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(700)]
+    edges += [("hot", n) for n in nodes[:150]]          # hot star center
+    edges += [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(120)]  # chain
+    edges += [(n, n) for n in nodes[:50]]               # isolated self-loops
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(7)
+
+    star = {(r.node, r.comp)
+            for r in connected_components_star(df, max_iter=12).collect()}
+    want = {(r.node, r.comp) for r in connected_components(df).collect()}
+    assert star == want
+    # the 121-node chain collapsed to its min label — in <= 12 rounds,
+    # where hash-min would need ~120
+    assert ("c120", "c000") in star
+
+
 def test_connected_components_chain_and_determinism(spark):
     # a long chain needs multiple propagation rounds; compare the
     # driver-side union-find path against the distributed hash-min path
