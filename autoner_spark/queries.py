@@ -1018,6 +1018,61 @@ WHERE p_brand = 'Brand#4'
 """
 
 
+def q_rel_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch form of streaming session
+    windows): per user, a >30-min silence starts a new session; sessions
+    are numbered with a running sum over one window pass and aggregated.
+    Time math in integer epoch-microseconds so both engines agree exactly."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet gives TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+    # cast to TIMESTAMP is value-preserving
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = tus - F.lag(tus).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.select(
+        "user_id", "event_id", "value", tus.alias("tus"),
+        F.sum(new_sess).over(run).cast("int").alias("session_idx"),
+    )
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.floor((F.max("tus") - F.min("tus")) / 1_000_000)
+            .cast("long").alias("duration_sec"),
+        )
+    )
+
+
+SQL_REL_EVENT_SESSIONS = """
+WITH o AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+    FROM events
+),
+f AS (
+    SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM o
+),
+s AS (
+    SELECT *, cast(sum(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY tus, event_id
+                  ROWS UNBOUNDED PRECEDING) AS integer) AS session_idx
+    FROM f
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       cast(floor((max(tus) - min(tus)) / 1000000) AS bigint) AS duration_sec
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def q_dedup_apply_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the near-dup dedup: retain documents that are not the
     higher-id member of any >=0.5-Jaccard pair (standard MinHash-dedup
@@ -1668,6 +1723,7 @@ QUERIES = {
     "rel_orders_exists": q_rel_orders_exists,
     "rel_customers_no_orders": q_rel_customers_no_orders,
     "rel_small_qty_revenue": q_rel_small_qty_revenue,
+    "rel_event_sessions": q_rel_event_sessions,
     "dedup_exact": q_dedup_exact,
     "dedup_apply_ngram": q_dedup_apply_ngram,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1720,6 +1776,7 @@ ORACLE_SQL = {
     "rel_orders_exists": SQL_REL_ORDERS_EXISTS,
     "rel_customers_no_orders": SQL_REL_CUSTOMERS_NO_ORDERS,
     "rel_small_qty_revenue": SQL_REL_SMALL_QTY_REVENUE,
+    "rel_event_sessions": SQL_REL_EVENT_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_apply_ngram": SQL_DEDUP_APPLY_NGRAM,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
