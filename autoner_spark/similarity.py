@@ -122,57 +122,49 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
     )
 
 
-def hyperplane_weights(n_hyperplanes: int, dim: int) -> list[list[float]]:
-    """w[j][d] = md5_int32('j:d') / 2^31 - 1, uniform in [-1, 1].
-
-    Computed in Python at PLAN time but exactly equal to the DuckDB twin's
-    in-engine derivation: md5 of the same string yields the same integer,
-    and (int / 2^31 - 1) is exact in binary floating point (power-of-two
-    divisor, exact subtraction), so both engines see bit-identical
-    doubles."""
-    import hashlib
-
-    def md5i(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-    return [
-        [md5i(f"{j}:{d}") / 2147483648.0 - 1.0 for d in range(dim)]
-        for j in range(n_hyperplanes)
-    ]
-
-
 def hyperplane_bits(
     embeddings: DataFrame,
     n_hyperplanes: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, b0..b{n-1}): random-hyperplane sign bits (SimHash for
-    vectors, Charikar '02) in WIDE form.
+    """(vec_id, j, bit): random-hyperplane sign bits (SimHash for vectors,
+    Charikar '02), computed relationally and cross-engine-portably.
 
-    Each bit is one in-row ``aggregate(zip_with(vec, literal_weights))``
-    expression — the whole signature is computed inside the scan's
-    projection with ZERO shuffles, zero joins and zero row explosion (an
-    explode-and-join formulation materializes N x dim x n_hyperplanes
-    intermediate rows for the same arithmetic)."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    weights = hyperplane_weights(n_hyperplanes, dim)
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(w) for w in weights[j]]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0
-        ).cast("long").alias(f"b{j}")
-        for j in range(n_hyperplanes)
-    ]
-    return embeddings.select(F.col(id_col).alias("vec_id"), *bits)
+    Hyperplane components are derived IN-ENGINE from md5 so the DuckDB twin
+    reproduces them bit-for-bit: w[j][d] = md5_int32(j:d) / 2^31 - 1 (uniform
+    in [-1, 1]). The dot products run as one broadcast join (the hyperplane
+    relation is n_hyperplanes x dim rows — constant size) plus one algebraic
+    sum aggregation; no UDF, no crossJoin of the data with itself."""
+    spark = embeddings.sparkSession
+    dim = len(
+        embeddings.select(vec_col).first()[0]
+    )
+    hyp = spark.createDataFrame(
+        [(j, d) for j in range(n_hyperplanes) for d in range(dim)],
+        "j int, d int",
+    ).withColumn(
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j").cast("string"),
+                                  F.col("d").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") / F.lit(2147483648.0) - F.lit(1.0),
+    )
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    )
+    return (
+        ex.join(F.broadcast(hyp), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
+        .select(
+            "vec_id", "j",
+            (F.col("dot") > 0).cast("int").alias("bit"),
+        )
+    )
 
 
 def embedding_lsh_pairs(
@@ -206,21 +198,14 @@ def embedding_lsh_pairs(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
     bits = hyperplane_bits(base, bits_per_band * n_bands)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            sum(
-                (F.col(f"b{b * bits_per_band + k}") * F.lit(2 ** k)
-                 for k in range(bits_per_band)),
-                F.lit(0).cast("long"),
-            ).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    bucketed = bits.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+    bucketed = bits.groupBy(
+        "vec_id", F.floor(F.col("j") / bits_per_band).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.pow(F.lit(2), F.col("j") % bits_per_band).cast("long")
+        ).cast("long").alias("bucket")
+    )
     buckets = bucketed.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("vec_id")).alias("ids")
     )
