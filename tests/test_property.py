@@ -71,3 +71,55 @@ def test_mentions_within_bounds_and_typed(spec, tokens):
         assert 0 <= m.begin_tok < m.end_tok <= len(tokens)
         assert m.entity_type and m.entity_type != "__FILTERED__"
         assert m.surface == " ".join(tokens[m.begin_tok : m.end_tok])
+
+
+# ---------------------------------------------------------------------------
+# char-class tokenizer invariants (utils.h:195-247 semantics)
+# ---------------------------------------------------------------------------
+
+from autoner_spark.textutil import (  # noqa: E402
+    ascii_lower,
+    is_real_separator,
+    is_separator_char,
+    is_separator_token,
+    simple_tokenize,
+    simple_tokenize_non_sep,
+)
+
+text_st = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ019/.,-()!?~@#$%^&*[] \t\n\v\f\r")
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=text_st)
+def test_simple_tokenize_invariants(s):
+    toks = simple_tokenize(s)
+    # length-preserving (the reference asserts this, utils.h:216-228)
+    assert "".join(toks) == s
+    for t in toks:
+        assert t != ""
+        if len(t) == 1 and is_separator_char(t):
+            continue  # separator chars are their own tokens
+        # non-separator tokens contain no separator chars
+        assert not any(is_separator_char(c) for c in t)
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=text_st)
+def test_non_sep_is_filtered_lowered_projection(s):
+    toks = simple_tokenize(s)
+    want = [
+        ascii_lower(t)
+        for t in toks
+        if not (is_separator_token(t) and not is_real_separator(t))
+    ]
+    assert simple_tokenize_non_sep(s) == want
+    kept = [
+        t for t in toks
+        if not (is_separator_token(t) and not is_real_separator(t))
+    ]
+    assert simple_tokenize_non_sep(s, keep_capital=True) == kept
