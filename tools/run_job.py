@@ -67,9 +67,15 @@ def main() -> None:
     linked = link_mentions(mentions, dict_df)
     entities = canonical_entities(linked)
     triples = assemble_triples(linked, entities)
-    triples.write.mode("overwrite").parquet(f"{args.out}/triples")
+    # triples sink goes through the catalog layer: Iceberg writeTo when the
+    # runtime jar is on the classpath (--packages org.apache.iceberg:...),
+    # the partitioned-parquet layout otherwise
+    from autoner_spark.catalog import TableCatalog
 
-    n_triples = spark.read.parquet(f"{args.out}/triples").count()
+    cat = TableCatalog(spark, args.out)
+    cat.create_or_replace(triples, "triples")
+
+    n_triples = cat.read("triples").count()
     metrics = [r.asDict() for r in metrics_df(spark, args.out).collect()]
     print(json.dumps({
         "buckets_skipped": sorted(done_before),
