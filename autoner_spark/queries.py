@@ -393,7 +393,7 @@ def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is NOT skewed — the skew-safe formulation."""
     m = exact_mentions_df(spark, sf_dir).select(
         "conv_id", "turn_idx", "surface"
-    ).distinct()
+    ).distinct().persist()  # both self-join sides read one materialization
     a, b = m.alias("a"), m.alias("b")
     return (
         a.join(b, ["conv_id", "turn_idx"])
@@ -452,7 +452,8 @@ def q_kg_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics), rounded for cross-engine comparison."""
     from .evaluate import per_type_prf
 
-    pred = exact_mentions_df(spark, sf_dir)
+    # pred feeds guess/gold/overlap counting (4 consumers) — persist
+    pred = exact_mentions_df(spark, sf_dir).persist()
     gold = pred.filter(F.col("begin_tok") % 3 != 0)
     out = per_type_prf(pred, gold)
     return out.select(
