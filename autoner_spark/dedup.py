@@ -230,6 +230,42 @@ def minhash_lsh_pairs(
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shared_ngrams): training documents CONTAMINATED by a
+    benchmark/eval set — any document sharing >= 1 n-gram with any benchmark
+    document (the GPT-3/Pile-style n-gram decontamination rule; distinct
+    from dedup, which compares the corpus against itself).
+
+    The benchmark n-gram set is tiny relative to the corpus -> broadcast
+    semi-shaped join: the corpus shingles stream once, the benchmark
+    shingles never shuffle. Benchmark members themselves are excluded from
+    the output (they are not 'contaminated', they ARE the benchmark)."""
+    bench_ids = benchmark.select(F.col(id_col).alias("bench_id")).distinct()
+    bench_sh = (
+        shingles_df(benchmark, n, id_col, text_col)
+        .select("shingle")
+        .distinct()
+    )
+    sh = shingles_df(docs, n, id_col, text_col)
+    sh = sh.join(
+        F.broadcast(bench_ids),
+        sh["id"] == bench_ids["bench_id"],
+        "left_anti",
+    )
+    return (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .select(F.col("id").alias("doc_id"), "n_shared_ngrams")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(id, simhash): 32-bit SimHash over tokens, computed relationally.

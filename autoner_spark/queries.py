@@ -1381,6 +1381,38 @@ FROM scored WHERE round(cosine, 6) >= 0.99
 """
 
 
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing any 4-gram with the
+    deterministic 'eval set' stand-in (doc_id % 20 == 0). Broadcast
+    benchmark shingles; the corpus streams once."""
+    from .dedup import decontaminate
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, benchmark, n=4)
+
+
+SQL_DEDUP_DECONTAMINATE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+four AS (
+    SELECT doc_id, concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                             lead(tok, 3) OVER w) AS shingle,
+           lead(tok, 3) OVER w AS t4
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM four WHERE t4 IS NOT NULL),
+bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE id % 20 = 0)
+SELECT sh.id AS doc_id, count(*) AS n_shared_ngrams
+FROM sh JOIN bench_sh USING (shingle)
+WHERE sh.id % 20 <> 0
+GROUP BY sh.id
+"""
+
+
 def q_text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-minima fingerprint (winnowing-style rolling fingerprint):
     the 3 smallest hashed trigram shingles per document, concatenated — a
@@ -1732,6 +1764,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_decontaminate": q_dedup_decontaminate,
     "text_winnow_fp": q_text_winnow_fp,
     "text_token_count_bpe": q_text_token_count_bpe,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -1785,6 +1818,7 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
+    "dedup_decontaminate": SQL_DEDUP_DECONTAMINATE,
     "text_winnow_fp": SQL_TEXT_WINNOW_FP,
     "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,

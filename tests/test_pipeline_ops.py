@@ -94,6 +94,25 @@ def test_lsh_bucket_cap_drops_hot_buckets(spark):
     assert {(r.id_a, r.id_b) for r in uncapped} >= {(200, 201)}
 
 
+def test_decontaminate_flags_overlap_only(spark):
+    """Decontamination: exactly the documents sharing an n-gram with the
+    benchmark are flagged; benchmark members themselves never are."""
+    from autoner_spark.dedup import decontaminate
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),        # benchmark
+        (1, "x alpha beta gamma delta y"),            # contaminated (4-gram)
+        (2, "alpha beta gamma zeta delta epsilon"),   # no shared 4-gram
+        (3, "completely different words here now"),   # clean
+        (20, "alpha beta gamma delta omega"),         # contaminated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id = 0")
+    got = {r.doc_id: r.n_shared_ngrams
+           for r in decontaminate(docs, bench, n=4).collect()}
+    assert got == {1: 1, 20: 1}
+
+
 def test_simhash_similar_docs_close(spark, docs):
     from autoner_spark.dedup import ngram_jaccard_pairs, simhash
 
