@@ -1586,6 +1586,79 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
+def q_text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-stable train/val/test split (80/10/10): every
+    training pipeline needs one, and it must be a pure function of the key
+    (re-runs, new shards and different partitionings all agree). Portable
+    hash -> bucket in [0,100)."""
+    d = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 100
+    )
+    return d.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+SQL_TEXT_SPLIT_ASSIGN = """
+SELECT doc_id,
+       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 8))
+                AS bigint) % 100 AS h
+    FROM documents
+)
+"""
+
+
+def q_text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing (context-window sharding): within each source
+    shard, documents are laid out in doc_id order and cut into 2048-token
+    bins by starting offset — the deterministic relational form of LLM
+    sample packing. Partitioned by the natural shard key (a single global
+    ordering would serialize the window at scale)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    laid = d.select(
+        "doc_id", "source", n_tok.alias("n_tokens"),
+        F.sum(n_tok).over(w).alias("cum"),
+    ).withColumn(
+        "bin", F.floor((F.col("cum") - F.col("n_tokens")) / 2048).cast("int")
+    )
+    return laid.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_TEXT_PACK_BINS = """
+WITH laid AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM documents
+)
+SELECT source, cast(floor((cum - n_tokens) / 2048) AS integer) AS bin,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM laid
+GROUP BY source, cast(floor((cum - n_tokens) / 2048) AS integer)
+"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import token_stats
 
@@ -1769,6 +1842,8 @@ QUERIES = {
     "text_token_count_bpe": q_text_token_count_bpe,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "text_split_assign": q_text_split_assign,
+    "text_pack_bins": q_text_pack_bins,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1823,6 +1898,8 @@ ORACLE_SQL = {
     "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
+    "text_split_assign": SQL_TEXT_SPLIT_ASSIGN,
+    "text_pack_bins": SQL_TEXT_PACK_BINS,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
