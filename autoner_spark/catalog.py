@@ -84,11 +84,30 @@ class TableCatalog:
                 w = w.partitionBy(*partition_by)
             w.parquet(self._path(table))
 
-    def append(self, df: DataFrame, table: str) -> None:
+    def append(self, df: DataFrame, table: str,
+               partition_by: tuple[str, ...] = ()) -> None:
+        """Append rows. The parquet fallback has no table metadata, so a
+        partitioned table needs the SAME ``partition_by`` on every append —
+        mixing partitioned and flat files under one root makes Spark's
+        partition discovery fail on the next read. Guarded here instead of
+        failing later. (Iceberg tracks its partition spec itself.)"""
         if self.use_iceberg:
             df.writeTo(self._ident(table)).append()
-        else:
-            df.write.mode("append").parquet(self._path(table))
+            return
+        path = self._path(table)
+        existing_partitioned = os.path.isdir(path) and any(
+            "=" in name and os.path.isdir(os.path.join(path, name))
+            for name in os.listdir(path)
+        )
+        if existing_partitioned and not partition_by:
+            raise ValueError(
+                f"table '{table}' is partitioned on disk; append() needs "
+                f"the same partition_by to keep the layout consistent"
+            )
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
     def read(self, table: str) -> DataFrame:
         if self.use_iceberg:

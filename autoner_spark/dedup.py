@@ -196,6 +196,12 @@ def minhash_lsh_pairs(
     Plan shape: 3 shuffles end to end — groupBy(id) for the wide signature,
     groupBy(band, bucket) for membership, groupBy(id_a, id_b) for the band
     count. No self-join, no distinct, one md5 per shingle occurrence."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}) — a partial band would silently drop the "
+            f"trailing minhashes from the signature"
+        )
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
     band_structs = [
         F.struct(

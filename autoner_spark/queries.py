@@ -49,6 +49,12 @@ KG_STOPWORDS: list[str] = ["the", "a"]
 
 TURNS_PER_CONV = 8
 
+# golden tables for the non-SQL-expressible DP chain (see autoner_spark/
+# golden.py; regenerate with `python tools/make_golden.py`), materialized at
+# sf0.01 — the scale the driver gate runs at. Single source of truth for
+# every golden-twin SQL string AND bench.py's golden-twin skip filter.
+GOLDEN_DIR = "/root/repo/golden/sf0.01"
+
 
 def kg_dict_spec() -> DictionarySpec:
     return DictionarySpec(
@@ -655,9 +661,9 @@ def q_kg_tag_mentions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_transcripts(raw, trie, tokenizer="charclass")
 
 
-SQL_KG_TAG_MENTIONS_RAW = """
+SQL_KG_TAG_MENTIONS_RAW = f"""
 SELECT conv_id, turn_idx, begin_tok, end_tok, surface, entity_type
-FROM read_parquet('/root/repo/golden/sf0.01/kg_tag_mentions_dp.parquet')
+FROM read_parquet('{GOLDEN_DIR}/kg_tag_mentions_dp.parquet')
 """
 
 
@@ -718,13 +724,11 @@ def q_kg_labels_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB twins for the DP chain: the DP itself is not SQL-expressible, so
 # the oracle side reads a GOLDEN parquet table materialized by the
-# single-node Python oracle (autoner_spark/golden.py; regenerate with
-# `python tools/make_golden.py`) — the same oracle code that is pinned
-# byte-for-byte against the compiled C++ reference binary in pytest. The
-# driver gate therefore compares two independent implementations: the
-# distributed mapInArrow tagger vs the Python oracle replay. Golden tables
-# are materialized for sf0.01, the scale the driver gate runs at.
-GOLDEN_DIR = "/root/repo/golden/sf0.01"
+# single-node Python oracle (autoner_spark/golden.py) — the same oracle
+# code that is pinned byte-for-byte against the compiled C++ reference
+# binary in pytest. The driver gate therefore compares two independent
+# implementations: the distributed mapInArrow tagger vs the Python oracle
+# replay.
 
 SQL_KG_TAG_MENTIONS_DP = f"""
 SELECT conv_id, turn_idx, begin_tok, end_tok, surface, entity_type
@@ -1333,20 +1337,27 @@ ex AS (
            unnest(embedding) AS x
     FROM aug
 ),
--- in-engine hyperplanes: w[j][d] = md5_int32('j:d') / 2^31 - 1
+-- in-engine hyperplanes: w[j][d] = md5_int32('j:d') / 2^31 - 1; the
+-- dimension indices come from the DATA (not a hardcoded width) so the twin
+-- stays in lockstep with hyperplane_bits' dim discovery
+dims AS (SELECT DISTINCT unnest(range(0, len(embedding))) AS d FROM aug),
 hyp AS (
     SELECT j, d,
            cast(('0x' || substring(md5(concat(j, ':', d)), 1, 8)) AS bigint)
                / 2147483648.0 - 1.0 AS w
-    FROM range(0, 64) t1(j), range(0, 64) t2(d)
+    FROM range(0, 64) t1(j), dims t2
 ),
 dots AS (
     SELECT e.vec_id, h.j, sum(e.x * h.w) AS dot
     FROM ex e JOIN hyp h USING (d)
     GROUP BY e.vec_id, h.j
 ),
+-- sign on the 6dp-rounded dot: raw double sums are aggregation-order
+-- dependent; a dot within rounding distance of 0 must not flip between
+-- engines
 bits AS (
-    SELECT vec_id, j, CASE WHEN dot > 0 THEN 1 ELSE 0 END AS bit FROM dots
+    SELECT vec_id, j, CASE WHEN round(dot, 6) > 0 THEN 1 ELSE 0 END AS bit
+    FROM dots
 ),
 bucketed AS (
     SELECT vec_id, cast(floor(j / 16) AS integer) AS band,

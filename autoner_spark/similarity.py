@@ -135,11 +135,19 @@ def hyperplane_bits(
     reproduces them bit-for-bit: w[j][d] = md5_int32(j:d) / 2^31 - 1 (uniform
     in [-1, 1]). The dot products run as one broadcast join (the hyperplane
     relation is n_hyperplanes x dim rows — constant size) plus one algebraic
-    sum aggregation; no UDF, no crossJoin of the data with itself."""
+    sum aggregation; no UDF, no crossJoin of the data with itself.
+
+    The sign is taken on the 6dp-ROUNDED dot product: the raw double sum's
+    last bits depend on aggregation order, so an unrounded comparison could
+    flip a bit between engines (or runs) when a dot lands within rounding
+    distance of zero — the same convention as every other float boundary in
+    the gate queries."""
     spark = embeddings.sparkSession
-    dim = len(
-        embeddings.select(vec_col).first()[0]
+    first_vec = (
+        embeddings.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
     )
+    # empty input: any dim yields the correct empty result downstream
+    dim = 1 if first_vec is None else len(first_vec[0])
     hyp = spark.createDataFrame(
         [(j, d) for j in range(n_hyperplanes) for d in range(dim)],
         "j int, d int",
@@ -162,7 +170,7 @@ def hyperplane_bits(
         .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
         .select(
             "vec_id", "j",
-            (F.col("dot") > 0).cast("int").alias("bit"),
+            (F.round(F.col("dot"), 6) > 0).cast("int").alias("bit"),
         )
     )
 

@@ -72,13 +72,22 @@ def time_queries(names, spark, sf_dir, runs: int = 3) -> dict[str, float]:
     query's repetitions back-to-back lets one window poison all of them
     (observed: 12s median for a query that measures 0.96s in isolation).
     Interleaving decorrelates the window from any single query; the median
-    then discards it."""
+    then discards it.
+
+    Caches are CLEARED between repetitions: several queries persist()
+    internally and Spark's CacheManager matches the identical plan on the
+    next run (measured: 5.4s cold vs 1.7s cached for kg_triples_exact), so
+    without the clear the median would time cache reads, not the one-shot
+    execution this benchmark claims to report — and the Spark-vs-DuckDB
+    comparison would be apples-to-oranges."""
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(runs):
         for name in names:
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             Q.QUERIES[name](spark, sf_dir).count()
             times[name].append(time.perf_counter() - t0)
+    spark.catalog.clearCache()
     return {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in times.items()}
 
 
@@ -88,7 +97,7 @@ def time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
     reference's native-engine throughput at this scale)."""
     import duckdb
 
-    from autoner_spark.queries import ORACLE_SQL
+    from autoner_spark.queries import GOLDEN_DIR, ORACLE_SQL
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -100,8 +109,8 @@ def time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in names:
         sql = ORACLE_SQL.get(name)
-        if sql is None or "read_parquet('/root/repo/golden" in sql:
-            continue  # golden-table twins time the oracle REPLAY, not a query
+        if sql is None or f"read_parquet('{GOLDEN_DIR}" in sql:
+            continue  # golden-table twins time a file read, not a query
         times = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -42,6 +42,13 @@ def test_parquet_fallback_roundtrip(spark, tmp_path):
     assert cat.read("extra").count() == t.filter("bucket <= 1").count()
     assert cat.read("transcripts").count() == before
 
+    # appending to a PARTITIONED fallback table requires the same layout:
+    # flat files under a partitioned root would break partition discovery
+    with pytest.raises(ValueError, match="partitioned"):
+        cat.append(t.drop("bucket"), "transcripts")
+    cat.append(t.limit(3), "transcripts", partition_by=("bucket",))
+    assert cat.read("transcripts").count() == before + 3
+
 
 def test_iceberg_writeto_path(spark, tmp_path):
     if not iceberg_available(spark):

@@ -197,6 +197,11 @@ def test_embedding_lsh_finds_rescaled_duplicates(spark, emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
+    # empty input: no crash, empty result (regression: dim discovery used
+    # first()[0] which is None-unsafe)
+    empty = base.filter("vec_id < 0")
+    assert embedding_lsh_pairs(empty, threshold=0.99).count() == 0
+
 
 def test_langid_real_sentences(spark):
     from autoner_spark.textstats import lang_id

@@ -67,6 +67,9 @@ def main():
             df = fn(spark, sf_dir)
             spark_rows = [tuple(r) for r in df.collect()]
             spark_cols = df.columns
+            # several queries persist() internally; release between queries
+            # so a 49-query session doesn't accumulate resident caches
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
