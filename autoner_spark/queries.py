@@ -1023,6 +1023,35 @@ WHERE p_brand = 'Brand#4'
 """
 
 
+def q_rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: order counts and revenue per priority, one column
+    set per order status. Explicit pivot values (the status domain) keep
+    the schema static — at scale an un-enumerated pivot forces an extra
+    distinct-values job before planning."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("rev_f"),
+            F.col("O").alias("rev_o"),
+            F.col("P").alias("rev_p"),
+        )
+    )
+
+
+SQL_REL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q_rel_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (the batch form of streaming session
     windows): per user, a >30-min silence starts a new session; sessions
@@ -1840,6 +1869,7 @@ QUERIES = {
     "rel_orders_exists": q_rel_orders_exists,
     "rel_customers_no_orders": q_rel_customers_no_orders,
     "rel_small_qty_revenue": q_rel_small_qty_revenue,
+    "rel_pivot_status": q_rel_pivot_status,
     "rel_event_sessions": q_rel_event_sessions,
     "dedup_exact": q_dedup_exact,
     "dedup_apply_ngram": q_dedup_apply_ngram,
@@ -1896,6 +1926,7 @@ ORACLE_SQL = {
     "rel_orders_exists": SQL_REL_ORDERS_EXISTS,
     "rel_customers_no_orders": SQL_REL_CUSTOMERS_NO_ORDERS,
     "rel_small_qty_revenue": SQL_REL_SMALL_QTY_REVENUE,
+    "rel_pivot_status": SQL_REL_PIVOT_STATUS,
     "rel_event_sessions": SQL_REL_EVENT_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_apply_ngram": SQL_DEDUP_APPLY_NGRAM,
