@@ -1052,6 +1052,33 @@ GROUP BY o_orderpriority
 """
 
 
+def q_rel_acctbal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate coverage: exact interpolated percentiles of
+    account balance per market segment (Spark `percentile` == DuckDB
+    `quantile_cont`, verified to agree to full precision; rounded 4dp for
+    the gate). At scale exact percentiles sort within groups —
+    `approx_percentile` (t-digest) is the sketch alternative, but its
+    estimates are engine-specific and not gateable."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        F.round(F.min("c_acctbal"), 4).alias("lo"),
+        F.round(F.max("c_acctbal"), 4).alias("hi"),
+    )
+
+
+SQL_REL_ACCTBAL_QUANTILES = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+       round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+       round(min(c_acctbal), 4) AS lo,
+       round(max(c_acctbal), 4) AS hi
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
 def q_rel_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (the batch form of streaming session
     windows): per user, a >30-min silence starts a new session; sessions
@@ -1870,6 +1897,7 @@ QUERIES = {
     "rel_customers_no_orders": q_rel_customers_no_orders,
     "rel_small_qty_revenue": q_rel_small_qty_revenue,
     "rel_pivot_status": q_rel_pivot_status,
+    "rel_acctbal_quantiles": q_rel_acctbal_quantiles,
     "rel_event_sessions": q_rel_event_sessions,
     "dedup_exact": q_dedup_exact,
     "dedup_apply_ngram": q_dedup_apply_ngram,
@@ -1927,6 +1955,7 @@ ORACLE_SQL = {
     "rel_customers_no_orders": SQL_REL_CUSTOMERS_NO_ORDERS,
     "rel_small_qty_revenue": SQL_REL_SMALL_QTY_REVENUE,
     "rel_pivot_status": SQL_REL_PIVOT_STATUS,
+    "rel_acctbal_quantiles": SQL_REL_ACCTBAL_QUANTILES,
     "rel_event_sessions": SQL_REL_EVENT_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_apply_ngram": SQL_DEDUP_APPLY_NGRAM,
