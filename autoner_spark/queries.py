@@ -1687,25 +1687,15 @@ def q_text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing (context-window sharding): within each source
     shard, documents are laid out in doc_id order and cut into 2048-token
     bins by starting offset — the deterministic relational form of LLM
-    sample packing. Partitioned by the natural shard key (a single global
-    ordering would serialize the window at scale)."""
-    d = load_parallel(spark, sf_dir, "documents")
-    n_tok = F.size(F.split("text", " "))
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    laid = d.select(
-        "doc_id", "source", n_tok.alias("n_tokens"),
-        F.sum(n_tok).over(w).alias("cum"),
-    ).withColumn(
-        "bin", F.floor((F.col("cum") - F.col("n_tokens")) / 2048).cast("int")
-    )
-    return laid.groupBy("source", "bin").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    sample packing. The running sum is a two-pass distributed prefix sum
+    (textstats.pack_token_bins): a single per-source window would serialize
+    nearly the whole corpus through one partition, since real corpora have
+    few sources. The DuckDB twin keeps the naive single-window form — same
+    output, so the gate also pins two-pass == naive."""
+    from .textstats import pack_token_bins
+
+    return pack_token_bins(load_parallel(spark, sf_dir, "documents"),
+                           bin_tokens=2048, block_docs=64)
 
 
 SQL_TEXT_PACK_BINS = """

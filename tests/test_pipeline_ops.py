@@ -259,3 +259,56 @@ def test_multimodal_plumbing(spark, docs):
 
     with pytest.raises(NotImplementedError):
         require_real_decoder(b"", 1, 1)
+
+def test_pack_token_bins_two_pass_equals_naive(spark):
+    """One dominant source (the scale-killer shape for a per-source window):
+    the two-pass prefix-sum packing must equal the naive single-window form
+    exactly, and its plan must not window-partition by source alone."""
+    from pyspark.sql.window import Window
+
+    from autoner_spark.textstats import pack_token_bins
+
+    rows = [(i, "web" if i % 50 else "books", "tok " * (3 + i % 7))
+            for i in range(997)]
+    docs = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id long, source string, text string",
+    ).repartition(7)
+
+    out = pack_token_bins(docs, bin_tokens=64, block_docs=32)
+
+    n_tok = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"),
+                    F.sum(n_tok).over(w).alias("cum"))
+        .withColumn("bin",
+                    F.floor((F.col("cum") - F.col("n_tokens")) / 64).cast("int"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in naive.collect()}
+
+    # the big-side windows must all be keyed by (source, blk) — never by
+    # source alone (that is the serial partition the two-pass form removes);
+    # the source-only window is allowed solely over the tiny subtotal
+    # relation, which the plan shows as an Aggregate BELOW the window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # AQE may print a subtree twice — dedupe on (agg, partition keys)
+    wins = {
+        (agg, re.sub(r"#\d+L?", "", keys))
+        for agg, keys in
+        re.findall(r"Window \[(sum\(\w+)[^\]]*\], \[([^\]]+)\]", plan)
+    }
+    assert wins == {("sum(n_tokens", "source, blk"), ("sum(tot", "source")}, plan
+    for agg, part_keys in wins:
+        if "source" in part_keys and "blk" not in part_keys:
+            # the ONLY source-keyed window allowed is the one over the tiny
+            # per-block subtotal relation (sum of `tot`), never the corpus
+            assert agg == "sum(tot", plan
