@@ -23,6 +23,37 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cap_group_size(df: DataFrame, keys: list[str], cap: int | None,
+                    min_size: int = 1) -> DataFrame:
+    """Drop rows whose group (by ``keys``) is larger than ``cap`` (or
+    smaller than ``min_size``) BEFORE any collect_list materializes the
+    group: the count runs as a window over the same keys (WindowExec spills
+    oversized partitions to disk; collect_list cannot spill within a group),
+    and a downstream groupBy on the same keys reuses the window's hash
+    partitioning — one shuffle total, no giant in-memory array for exactly
+    the skewed group the cap exists to handle."""
+    w = Window.partitionBy(*keys)
+    out = df.withColumn("_gn", F.count("*").over(w))
+    cond = F.col("_gn") >= min_size
+    if cap is not None:
+        cond = cond & (F.col("_gn") <= cap)
+    return out.filter(cond).drop("_gn")
+
+
+def group_drop_stats(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """(n_dropped_groups, n_dropped_rows): observability for a group-size
+    skew cap — how many groups (and member rows) the cap discarded. Run on
+    the SAME keyed relation the capped operator groups on; write the single
+    row next to the operator's output so 'dedup found N pairs' is auditable
+    against what the guard threw away."""
+    freq = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    return freq.filter(F.col("n") > cap).agg(
+        F.count("*").alias("n_dropped_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_dropped_rows"),
+    )
 
 # md5-hex prefix -> unsigned 32-bit int; identical in DuckDB via
 # cast(('0x' || substring(md5(x),1,8)) as bigint)
@@ -93,14 +124,17 @@ def ngram_jaccard_pairs(
     shingle once; the grouped relation (one row per distinct shingle —
     vocabulary-sized, orders of magnitude below the corpus) is persisted and
     feeds both the in-row pair explosion (intersections) and the post-filter
-    doc sizes, so the scan->shingle lineage runs exactly once."""
+    doc sizes, so the scan->shingle lineage runs exactly once. The df cap is
+    applied BEFORE collect_list (window count + filter, same shuffle key):
+    a ubiquitous boilerplate shingle spills through WindowExec and is
+    dropped without ever materializing its full id array in one row.
+    ``ngram_jaccard_drop_stats`` reports what the cap discarded."""
     sh = shingles_df(docs, n, id_col, text_col)
+    if max_shingle_df:
+        sh = _cap_group_size(sh, ["shingle"], max_shingle_df)
     grouped = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
-    )
-    if max_shingle_df:
-        grouped = grouped.filter(F.size("ids") <= max_shingle_df)
-    grouped = grouped.persist()
+    ).persist()
     sizes = (
         grouped.select(F.explode("ids").alias("id"))
         .groupBy("id")
@@ -196,6 +230,32 @@ def minhash_lsh_pairs(
     Plan shape: 3 shuffles end to end — groupBy(id) for the wide signature,
     groupBy(band, bucket) for membership, groupBy(id_a, id_b) for the band
     count. No self-join, no distinct, one md5 per shingle occurrence."""
+    banded = _minhash_banded(docs, num_hashes, band_size, n, id_col, text_col)
+    # pre-collect skew cap: the count runs as a window (spills), so a giant
+    # boilerplate bucket never materializes as one collect_list array
+    kept = _cap_group_size(banded, ["band", "bucket"], max_bucket_size,
+                           min_size=2)
+    buckets = kept.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
+
+
+def _minhash_banded(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band, bucket): the banded LSH keys behind minhash_lsh_pairs —
+    shared by the pair generator and the drop-stats observability query."""
     if num_hashes % band_size != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by band_size "
@@ -218,22 +278,40 @@ def minhash_lsh_pairs(
         )
         for b in range(num_hashes // band_size)
     ]
-    banded = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
-    buckets = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
+
+
+def ngram_jaccard_drop_stats(
+    docs: DataFrame,
+    n: int = 3,
+    max_shingle_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_dropped_groups, n_dropped_rows): how many shingles (and
+    (id, shingle) rows) the ``max_shingle_df`` guard in
+    ``ngram_jaccard_pairs`` discarded."""
+    return group_drop_stats(
+        shingles_df(docs, n, id_col, text_col), ["shingle"], max_shingle_df
     )
-    sized = buckets.filter(F.size("ids") >= 2)
-    if max_bucket_size is not None:
-        sized = sized.filter(F.size("ids") <= max_bucket_size)
-    pairs = (
-        sized.select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
+
+
+def minhash_lsh_drop_stats(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    max_bucket_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_dropped_groups, n_dropped_rows): buckets (and memberships)
+    the ``max_bucket_size`` guard in ``minhash_lsh_pairs`` discarded."""
+    banded = _minhash_banded(docs, num_hashes, band_size, n, id_col, text_col)
+    return group_drop_stats(banded, ["band", "bucket"], max_bucket_size)
 
 
 def decontaminate(

@@ -175,6 +175,46 @@ def hyperplane_bits(
     )
 
 
+def lsh_band_buckets(
+    base: DataFrame,
+    bits_per_band: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(vec_id, band, bucket): sign-LSH band bucket keys over
+    base(vec_id, embedding) — shared by the pair generator and the
+    drop-stats observability query."""
+    bits = hyperplane_bits(base, bits_per_band * n_bands)
+    return bits.groupBy(
+        "vec_id", F.floor(F.col("j") / bits_per_band).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.pow(F.lit(2), F.col("j") % bits_per_band).cast("long")
+        ).cast("long").alias("bucket")
+    )
+
+
+def embedding_lsh_drop_stats(
+    embeddings: DataFrame,
+    bits_per_band: int = 16,
+    n_bands: int = 4,
+    max_bucket_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row (n_dropped_groups, n_dropped_rows): buckets (and memberships)
+    the ``max_bucket_size`` guard in ``embedding_lsh_pairs`` discarded."""
+    from .dedup import group_drop_stats
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    return group_drop_stats(
+        lsh_band_buckets(base, bits_per_band, n_bands),
+        ["band", "bucket"], max_bucket_size,
+    )
+
+
 def embedding_lsh_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -202,26 +242,22 @@ def embedding_lsh_pairs(
     keeping 13.6% of all candidate pairs), so the exhaustive scan is the
     correct exact plan there; LSH is the right plan where near-duplicate
     semantics actually hold (threshold >= ~0.9)."""
+    from .dedup import _cap_group_size
+
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    bits = hyperplane_bits(base, bits_per_band * n_bands)
-    bucketed = bits.groupBy(
-        "vec_id", F.floor(F.col("j") / bits_per_band).cast("int").alias("band")
-    ).agg(
-        F.sum(
-            F.col("bit")
-            * F.pow(F.lit(2), F.col("j") % bits_per_band).cast("long")
-        ).cast("long").alias("bucket")
-    )
-    buckets = bucketed.groupBy("band", "bucket").agg(
+    bucketed = lsh_band_buckets(base, bits_per_band, n_bands)
+    # pre-collect skew cap (window count + filter): an oversized bucket
+    # spills through WindowExec and is dropped before collect_list would
+    # materialize it as one array row; lsh_drop_stats reports the discards
+    kept = _cap_group_size(bucketed, ["band", "bucket"], max_bucket_size,
+                           min_size=2)
+    buckets = kept.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("vec_id")).alias("ids")
     )
-    sized = buckets.filter(
-        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
-    )
     cand = (
-        sized.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()

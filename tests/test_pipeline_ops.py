@@ -312,3 +312,60 @@ def test_pack_token_bins_two_pass_equals_naive(spark):
             # the ONLY source-keyed window allowed is the one over the tiny
             # per-block subtotal relation (sum of `tot`), never the corpus
             assert agg == "sum(tot", plan
+
+
+def test_guard_drop_stats_nonzero_on_skew(spark):
+    """The skew guards must be observable: on a fixture with a boilerplate
+    shingle / an oversized LSH bucket, the drop-stats queries report nonzero
+    discards, and the capped operators still run (no giant collect_list)."""
+    from autoner_spark.dedup import (
+        minhash_lsh_drop_stats,
+        minhash_lsh_pairs,
+        ngram_jaccard_drop_stats,
+        ngram_jaccard_pairs,
+    )
+    from autoner_spark.similarity import (
+        embedding_lsh_drop_stats,
+        embedding_lsh_pairs,
+    )
+
+    # one ubiquitous trigram ("common boiler plate") + unique tails
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate u{i} v{i} w{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    st = ngram_jaccard_drop_stats(docs, n=3, max_shingle_df=10).collect()[0]
+    assert st.n_dropped_groups >= 1
+    assert st.n_dropped_rows >= 30
+    # guarded op still runs and the boilerplate shingle produced no pairs
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2,
+                                max_shingle_df=10).collect()
+    assert pairs == []
+
+    # identical texts -> identical signatures -> one bucket of 30 per band
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(30)],
+        "doc_id long, text string",
+    )
+    mst = minhash_lsh_drop_stats(same, num_hashes=16, band_size=4,
+                                 max_bucket_size=8).collect()[0]
+    assert mst.n_dropped_groups == 4      # every band's single bucket
+    assert mst.n_dropped_rows == 120
+    assert minhash_lsh_pairs(same, num_hashes=16, band_size=4,
+                             max_bucket_size=8).count() == 0
+
+    # identical vectors -> one bucket of 20 per band
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    est = embedding_lsh_drop_stats(vecs, bits_per_band=8, n_bands=2,
+                                   max_bucket_size=8).collect()[0]
+    assert est.n_dropped_groups == 2
+    assert est.n_dropped_rows == 40
+    assert embedding_lsh_pairs(vecs, threshold=0.99, bits_per_band=8,
+                               n_bands=2, max_bucket_size=8).count() == 0
+
+    # no skew -> zero drops (the counters don't cry wolf)
+    zst = ngram_jaccard_drop_stats(docs, n=3, max_shingle_df=1000).collect()[0]
+    assert zst.n_dropped_groups == 0 and zst.n_dropped_rows == 0
