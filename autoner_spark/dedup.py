@@ -132,9 +132,11 @@ def ngram_jaccard_pairs(
     sh = shingles_df(docs, n, id_col, text_col)
     if max_shingle_df:
         sh = _cap_group_size(sh, ["shingle"], max_shingle_df)
-    grouped = sh.groupBy("shingle").agg(
+    from .caching import persist_tracked
+
+    grouped = persist_tracked(sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
-    ).persist()
+    ))
     sizes = (
         grouped.select(F.explode("ids").alias("id"))
         .groupBy("id")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .caching import persist_tracked
 from .canonicalize import connected_components
 from .dictionary import DictionarySpec, build_trie
 from .tagger import tag_transcripts
@@ -324,7 +325,7 @@ def q_kg_triples_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     The mentions lineage has two consumers (the CC node set and the linked
     join), so it is persisted — one scan+window pass instead of two; the CC
     edge-count action populates the cache."""
-    m = exact_mentions_df(spark, sf_dir).persist()
+    m = persist_tracked(exact_mentions_df(spark, sf_dir))
     comp = F.broadcast(surface_components_df(spark, m))
     linked = m.join(comp, "surface").withColumn(
         "subj", F.concat(F.lit("ent:"), F.col("component"))
@@ -399,7 +400,8 @@ def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is NOT skewed — the skew-safe formulation."""
     m = exact_mentions_df(spark, sf_dir).select(
         "conv_id", "turn_idx", "surface"
-    ).distinct().persist()  # both self-join sides read one materialization
+    ).distinct()
+    m = persist_tracked(m)  # both self-join sides read one materialization
     a, b = m.alias("a"), m.alias("b")
     return (
         a.join(b, ["conv_id", "turn_idx"])
@@ -459,7 +461,7 @@ def q_kg_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .evaluate import per_type_prf
 
     # pred feeds guess/gold/overlap counting (4 consumers) — persist
-    pred = exact_mentions_df(spark, sf_dir).persist()
+    pred = persist_tracked(exact_mentions_df(spark, sf_dir))
     gold = pred.filter(F.col("begin_tok") % 3 != 0)
     out = per_type_prf(pred, gold)
     return out.select(
@@ -539,7 +541,7 @@ def q_kg_eval_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (begin_tok % 3 != 0), mirroring kg_eval_pr's split."""
     from .evaluate import single_row_prf
 
-    spans = _label_spans(spark, sf_dir).persist()
+    spans = persist_tracked(_label_spans(spark, sf_dir))
     pred = spans.select("conv_id", "turn_idx", "begin_tok", "end_tok")
     gold = pred.filter(F.col("begin_tok") % 3 != 0)
     return single_row_prf(pred, gold,
@@ -573,7 +575,7 @@ def q_kg_eval_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
     third of the spans (begin_tok % 3 == 0 -> 'Metric') on the gold side."""
     from .evaluate import single_row_prf
 
-    spans = _label_spans(spark, sf_dir).persist()
+    spans = persist_tracked(_label_spans(spark, sf_dir))
     keys = ["conv_id", "turn_idx", "begin_tok", "end_tok", "entity_type"]
     gold = spans.withColumn(
         "entity_type",

@@ -134,8 +134,11 @@ def build_kg(spark, transcripts: DataFrame, spec: DictionarySpec,
     dict_df = dict_surfaces_df(spark, spec)
     # linked has three consumers (CC edge set, has_type, mentioned_in);
     # persist so the tagger's mapInArrow pass runs ONCE, not per consumer —
-    # the CC edge-count action populates the cache.
-    linked = link_mentions(mentions, dict_df).persist()
+    # the CC edge-count action populates the cache. Tracked: callers release
+    # with caching.release_caches() (or kg["linked"].unpersist()) when done.
+    from .caching import persist_tracked
+
+    linked = persist_tracked(link_mentions(mentions, dict_df))
     entities = canonical_entities(linked)
     triples = assemble_triples(linked, entities)
     return {

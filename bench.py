@@ -80,13 +80,17 @@ def time_queries(names, spark, sf_dir, runs: int = 3) -> dict[str, float]:
     without the clear the median would time cache reads, not the one-shot
     execution this benchmark claims to report — and the Spark-vs-DuckDB
     comparison would be apples-to-oranges."""
+    from autoner_spark.caching import release_caches
+
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(runs):
         for name in names:
+            release_caches()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             Q.QUERIES[name](spark, sf_dir).count()
             times[name].append(time.perf_counter() - t0)
+    release_caches()
     spark.catalog.clearCache()
     return {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in times.items()}
 

@@ -1,0 +1,57 @@
+"""Cache hygiene: tracked persist() sites must be releasable in one call.
+
+Every internal persist() in the library goes through
+caching.persist_tracked; after consuming a query's result and calling
+release_caches(), the session's CacheManager must be EMPTY — a long-lived
+session running the whole gate must not accumulate dead cached lineages.
+"""
+
+SF = "/root/testdata/sf0.001"
+
+# every gate query whose implementation persists an internal subtree
+PERSIST_BEARING = [
+    "kg_triples_exact",
+    "kg_cooccurrence",
+    "kg_eval_pr",
+    "kg_eval_chunking",
+    "kg_eval_typing",
+    "kg_triples_dp",        # build_kg's linked lineage
+    "dedup_ngram_jaccard",  # grouped shingle relation
+    "dedup_apply_ngram",
+]
+
+
+def _cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_release_caches_empties_cache_manager(spark):
+    from autoner_spark.caching import release_caches
+    from autoner_spark.queries import QUERIES
+
+    spark.catalog.clearCache()
+    release_caches()
+    assert _cache_empty(spark)
+
+    for name in PERSIST_BEARING:
+        QUERIES[name](spark, SF).count()
+        assert not _cache_empty(spark), (
+            f"{name} should persist an internal subtree (fixture drift?)"
+        )
+        released = release_caches()
+        assert released >= 1
+        assert _cache_empty(spark), f"{name} left a resident cache"
+
+
+def test_release_caches_idempotent_and_safe(spark):
+    from autoner_spark.caching import persist_tracked, release_caches
+
+    release_caches()
+    df = persist_tracked(spark.range(10))
+    assert df.count() == 10
+    assert release_caches() == 1
+    assert release_caches() == 0  # nothing tracked twice
+    # releasing before the action is safe (recompute, not wrong results)
+    df2 = persist_tracked(spark.range(5))
+    release_caches()
+    assert df2.count() == 5

@@ -67,9 +67,11 @@ def main():
             df = fn(spark, sf_dir)
             spark_rows = [tuple(r) for r in df.collect()]
             spark_cols = df.columns
-            # several queries persist() internally; release between queries
-            # so a 49-query session doesn't accumulate resident caches
-            spark.catalog.clearCache()
+            # several queries persist() internally (tracked); release between
+            # queries so the 51-query session ends with an empty CacheManager
+            from autoner_spark.caching import release_caches
+
+            release_caches()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")

@@ -82,6 +82,9 @@ def main() -> None:
         "n_triples": n_triples,
         "lineage": metrics,
     }))
+    from autoner_spark.caching import release_caches
+
+    release_caches()  # library calls persist via the tracked registry
     spark.stop()
 
 
