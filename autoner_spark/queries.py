@@ -1650,6 +1650,72 @@ FROM (
 """
 
 
+def q_sim_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): each query unions its two
+    nearest clusters' candidates, bounding the recall loss at cluster
+    boundaries that nprobe=1 cannot. Candidate storage is unchanged; only
+    the query fan-out doubles."""
+    from .similarity import ivf_topk
+
+    return ivf_topk(load_parallel(spark, sf_dir, "embeddings"), k=3,
+                    n_centroids=32, max_query_id=10, nprobe=2)
+
+
+SQL_SIM_IVF_TOPK_NPROBE = """
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+    ORDER BY cast(('0x' || substring(md5(cast(vec_id AS varchar)), 1, 8)) AS bigint),
+             vec_id
+    LIMIT 32
+),
+apairs AS (
+    SELECT e.vec_id, c.centroid_id,
+           cast(unnest(e.embedding) AS double) AS a,
+           cast(unnest(c.cvec) AS double) AS b
+    FROM embeddings e, cents c
+),
+ascored AS (
+    SELECT vec_id, centroid_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+    FROM apairs GROUP BY vec_id, centroid_id
+),
+ranked AS (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, centroid_id) AS rnk
+    FROM ascored
+),
+assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rnk = 1),
+probes AS (SELECT vec_id, centroid_id FROM ranked WHERE rnk <= 2
+           AND vec_id < 10),
+cand AS (
+    SELECT e.vec_id, e.embedding, a.centroid_id
+    FROM embeddings e JOIN assign a USING (vec_id)
+),
+qpairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           cast(unnest(q.embedding) AS double) AS a,
+           cast(unnest(c.embedding) AS double) AS b
+    FROM embeddings q
+    JOIN probes p ON p.vec_id = q.vec_id
+    JOIN cand c ON c.centroid_id = p.centroid_id
+    WHERE q.vec_id <> c.vec_id
+),
+qscored AS (
+    SELECT query_id, vec_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cosine
+    FROM qpairs GROUP BY query_id, vec_id
+)
+SELECT query_id, cast(rnk AS integer) AS rnk, vec_id, round(cosine, 6) AS cosine
+FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rnk
+    FROM qscored
+) WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -1903,6 +1969,7 @@ QUERIES = {
     "text_token_count_bpe": q_text_token_count_bpe,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_topk_nprobe": q_sim_ivf_topk_nprobe,
     "text_split_assign": q_text_split_assign,
     "text_pack_bins": q_text_pack_bins,
     "text_token_stats": q_text_token_stats,
@@ -1961,6 +2028,7 @@ ORACLE_SQL = {
     "text_token_count_bpe": SQL_TEXT_TOKEN_COUNT_BPE,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
+    "sim_ivf_topk_nprobe": SQL_SIM_IVF_TOPK_NPROBE,
     "text_split_assign": SQL_TEXT_SPLIT_ASSIGN,
     "text_pack_bins": SQL_TEXT_PACK_BINS,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

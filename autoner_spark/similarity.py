@@ -102,9 +102,14 @@ def ivf_centroids(embeddings: DataFrame, k: int = 32,
 
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
+               nprobe: int = 1,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, centroid_id): argmax-cosine assignment via broadcast join +
-    windowed argmax (ties -> smaller centroid_id)."""
+    """(vec_id, centroid_id): the ``nprobe`` best-cosine centroids per
+    vector, via broadcast join + windowed top-n (ties -> smaller
+    centroid_id). nprobe=1 is the storage assignment (each vector lives in
+    exactly one cluster); nprobe>1 is the QUERY-side multi-probe that
+    recovers recall near cluster boundaries — same broadcast argmax, just
+    keeping the n best rows."""
     pairs = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).crossJoin(F.broadcast(centroids))
@@ -117,7 +122,7 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
+        .filter(F.col("rnk") <= nprobe)
         .select("vec_id", "centroid_id")
     )
 
@@ -276,21 +281,37 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 32,
     max_query_id: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k probing only the query's own cluster (nprobe=1)."""
+    """ANN top-k probing the query's ``nprobe`` nearest clusters.
+
+    Candidates are stored once (nprobe=1 assignment); each query fans out
+    to its nprobe best centroids via the same broadcast argmax and unions
+    the probed clusters. nprobe=1 has no recall bound for true neighbors
+    across a cluster boundary; nprobe>1 probes the adjacent clusters the
+    boundary case falls into, at nprobe× the candidate cost — still
+    O(N·k/n_centroids·nprobe) total, never a cross product. A query in one
+    probed cluster meets each candidate once (candidates live in exactly
+    one cluster), so no dedup pass is needed."""
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
-    assign = ivf_assign(embeddings, cents, id_col, vec_col)
+    assign = ivf_assign(embeddings, cents, 1, id_col, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).join(assign, "vec_id")
-    q = base.filter(F.col("vec_id") < max_query_id).select(
+    )
+    qvecs = base.filter(F.col("vec_id") < max_query_id)
+    probes = ivf_assign(
+        qvecs, cents, nprobe, id_col="vec_id", vec_col="embedding"
+    )
+    q = qvecs.join(probes, "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("centroid_id"),
     )
-    cand = base.select("vec_id", "embedding", "centroid_id")
+    cand = base.join(assign, "vec_id").select(
+        "vec_id", "embedding", "centroid_id"
+    )
     pairs = q.join(cand, "centroid_id").filter(
         F.col("query_id") != F.col("vec_id")
     )

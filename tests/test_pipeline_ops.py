@@ -369,3 +369,42 @@ def test_guard_drop_stats_nonzero_on_skew(spark):
     # no skew -> zero drops (the counters don't cry wolf)
     zst = ngram_jaccard_drop_stats(docs, n=3, max_shingle_df=1000).collect()[0]
     assert zst.n_dropped_groups == 0 and zst.n_dropped_rows == 0
+
+
+def test_ivf_multiprobe_improves_boundary_recall(spark, emb):
+    """nprobe>1 must strictly improve recall@k vs nprobe=1 on the isotropic
+    fixture (queries near cluster boundaries lose their true neighbors when
+    only the home cluster is probed), and every returned candidate must lie
+    in one of the query's probed clusters."""
+    from autoner_spark.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+        queries_from_ids,
+    )
+
+    truth = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries_from_ids(emb, 20), k=5)
+             .collect()}
+
+    def recall(nprobe):
+        got = {(r.query_id, r.vec_id)
+               for r in ivf_topk(emb, k=5, n_centroids=8, max_query_id=20,
+                                 nprobe=nprobe).collect()}
+        return len(got & truth)
+
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    assert r1 < r2 < r3, (r1, r2, r3)
+
+    # probed-cluster invariant at nprobe=2
+    cents = ivf_centroids(emb, 8)
+    home = {r.vec_id: r.centroid_id
+            for r in ivf_assign(emb, cents, 1).collect()}
+    probed: dict[int, set] = {}
+    for r in ivf_assign(emb.filter("vec_id < 20"), cents, 2).collect():
+        probed.setdefault(r.vec_id, set()).add(r.centroid_id)
+    assert all(len(s) == 2 for s in probed.values())
+    for r in ivf_topk(emb, k=5, n_centroids=8, max_query_id=20,
+                      nprobe=2).collect():
+        assert home[r.vec_id] in probed[r.query_id]
