@@ -1326,10 +1326,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors whose cosine >= 0.45
     (the synthetic embeddings are near-orthogonal; max pairwise cosine ~0.51).
     Brute-force pair scan (the correctness baseline; the LSH/IVF queries are
-    the scale path). Deterministic double math, rounded."""
-    from .similarity import with_cosine
+    the scale path) — GUARDED: refuses inputs beyond 50k vectors so the
+    exact baseline cannot be lifted into a production pipeline by accident.
+    Deterministic double math, rounded."""
+    from .similarity import guard_brute_force, with_cosine
 
     emb = load_parallel(spark, sf_dir, "embeddings")
+    guard_brute_force(emb, 50_000, "dedup_embedding_lsh")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qvec"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("embedding"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

@@ -42,6 +42,23 @@ def _norm(a):
     )
 
 
+def guard_brute_force(df: DataFrame, max_rows: int | None, scale_path: str) -> None:
+    """Refuse to cross-join an input larger than ``max_rows``: the brute-
+    force operators are exact-recall correctness baselines, and lifting one
+    into a pipeline at corpus scale is a quadratic accident. One cheap job
+    (limit(max_rows+1).count()) decides; pass ``max_rows=None`` to opt out
+    explicitly."""
+    if max_rows is None:
+        return
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute-force pair scan refused: input exceeds {max_rows} rows "
+            f"(O(N^2) at this size); use the scale path ({scale_path}) or "
+            f"pass max_rows=None to force the exact baseline"
+        )
+
+
 def with_cosine(pairs: DataFrame, a: str = "qvec", b: str = "embedding") -> DataFrame:
     return pairs.withColumn(
         "cosine", _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
@@ -54,9 +71,13 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 50_000,
 ) -> DataFrame:
     """queries(query_id, qvec) x embeddings -> top-k (query_id, vec_id,
-    cosine) per query; self-matches excluded by id."""
+    cosine) per query; self-matches excluded by id. Exact O(Q x N) rerank
+    baseline — guarded above ``max_rows`` candidates (ivf_topk is the
+    scale path)."""
+    guard_brute_force(embeddings, max_rows, "similarity.ivf_topk")
     cand = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )

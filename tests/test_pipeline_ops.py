@@ -408,3 +408,23 @@ def test_ivf_multiprobe_improves_boundary_recall(spark, emb):
     for r in ivf_topk(emb, k=5, n_centroids=8, max_query_id=20,
                       nprobe=2).collect():
         assert home[r.vec_id] in probed[r.query_id]
+
+
+def test_brute_force_guard_refuses_large_inputs(spark, emb):
+    """The exact-baseline crossJoins must refuse oversized inputs (the
+    docstring promise is now enforced behavior): >max_rows raises with a
+    pointer to the scale path; max_rows=None opts out."""
+    from autoner_spark.similarity import (
+        brute_force_topk,
+        guard_brute_force,
+        queries_from_ids,
+    )
+
+    big = emb.union(emb).union(emb)  # > 2x the cap below
+    with pytest.raises(ValueError, match="ivf_topk"):
+        brute_force_topk(big, queries_from_ids(emb, 2), k=2,
+                         max_rows=emb.count())
+    # opt-out still works, and small inputs pass untouched
+    assert brute_force_topk(emb, queries_from_ids(emb, 2), k=2,
+                            max_rows=None).count() == 4
+    guard_brute_force(emb, emb.count(), "x")  # exactly at cap: allowed
