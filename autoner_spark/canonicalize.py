@@ -34,6 +34,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     driver_threshold: int = 100_000,
+    distributed: str = "star",
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id
     (string min) of the node's connected component.
@@ -46,8 +47,18 @@ def connected_components(
     mention stream is 10^12 rows, since it is bounded by distinct surface
     forms — is counted first; below ``driver_threshold`` edges the component
     labeling runs as driver-side union-find on the collected distinct edges
-    (one shuffle for distinct, no iteration), otherwise as iterative
-    distributed hash-min propagation. Both paths produce identical labels.
+    (one shuffle for distinct, no iteration). Above it, ``distributed``
+    selects the iterative path:
+
+    * ``"star"`` (default) — alternating large-star/small-star
+      (connected_components_star): O(log n) rounds on ANY graph shape, so
+      a non-surface-shaped edge set (a 10^6-long chain) cannot silently
+      run 10^6 rounds;
+    * ``"hashmin"`` — hash-min label propagation: O(diameter) rounds, one
+      shuffle per round — marginally cheaper per round on the star-shaped
+      surface graphs this module was built for, but unbounded on chains.
+
+    All paths produce identical labels.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # undirected: symmetrize once
@@ -66,6 +77,11 @@ def connected_components(
             return edges.sparkSession.createDataFrame(
                 sorted(labels.items()), "node string, comp string"
             )
+
+    if distributed == "star":
+        return connected_components_star(sym, "src", "dst")
+    if distributed != "hashmin":
+        raise ValueError(f"unknown distributed CC method: {distributed!r}")
 
     sym = sym.localCheckpoint(eager=True)
 

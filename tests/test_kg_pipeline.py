@@ -39,8 +39,13 @@ def test_connected_components_random_graph_both_paths_agree(spark):
         (r.node, r.comp)
         for r in connected_components(df, driver_threshold=0,
                                       max_iter=40).collect()
+    }  # distributed default = star
+    hashmin = {
+        (r.node, r.comp)
+        for r in connected_components(df, driver_threshold=0, max_iter=40,
+                                      distributed="hashmin").collect()
     }
-    assert fast == dist
+    assert fast == dist == hashmin
     comps = {}
     for node, comp in fast:
         comps.setdefault(comp, []).append(node)
@@ -70,6 +75,31 @@ def test_connected_components_star_agrees(spark):
     # the 121-node chain collapsed to its min label — in <= 12 rounds,
     # where hash-min would need ~120
     assert ("c120", "c000") in star
+
+
+def test_connected_components_long_chain_auto_selects_star(spark):
+    """Public entry point, long-chain fixture: above the driver threshold
+    the AUTOMATIC distributed path must be the O(log n) star algorithm —
+    a 300-edge chain labels correctly in far fewer rounds than its
+    diameter (hash-min at the same max_iter would stop short)."""
+    rows = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "src string, dst string").repartition(5)
+    got = {(r.node, r.comp)
+           for r in connected_components(df, driver_threshold=10,
+                                         max_iter=20).collect()}
+    assert len(got) == 301
+    assert all(comp == "c000" for _, comp in got)
+    # the explicit hashmin selector at the same budget does NOT converge —
+    # the reason star is the default distributed path
+    part = {(r.node, r.comp)
+            for r in connected_components(df, driver_threshold=10,
+                                          max_iter=20,
+                                          distributed="hashmin").collect()}
+    assert part != got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown distributed CC"):
+        connected_components(df, driver_threshold=0, distributed="bogus")
 
 
 def test_connected_components_chain_and_determinism(spark):
