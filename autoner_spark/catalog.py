@@ -95,15 +95,28 @@ class TableCatalog:
             df.writeTo(self._ident(table)).append()
             return
         path = self._path(table)
-        existing_partitioned = os.path.isdir(path) and any(
-            "=" in name and os.path.isdir(os.path.join(path, name))
-            for name in os.listdir(path)
-        )
-        if existing_partitioned and not partition_by:
-            raise ValueError(
-                f"table '{table}' is partitioned on disk; append() needs "
-                f"the same partition_by to keep the layout consistent"
+        if os.path.isdir(path):
+            existing_partitioned = any(
+                "=" in name and os.path.isdir(os.path.join(path, name))
+                for name in os.listdir(path)
             )
+            existing_flat = any(
+                name.endswith(".parquet") for name in os.listdir(path)
+            )
+            if existing_partitioned and not partition_by:
+                raise ValueError(
+                    f"table '{table}' is partitioned on disk; append() needs "
+                    f"the same partition_by to keep the layout consistent"
+                )
+            if existing_flat and partition_by:
+                # the mirror case: a partitioned append onto a flat table
+                # produces the same mixed layout that breaks partition
+                # discovery on the next read
+                raise ValueError(
+                    f"table '{table}' is flat on disk; a partitioned "
+                    f"append() would mix layouts — drop partition_by or "
+                    f"rewrite with create_or_replace"
+                )
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)

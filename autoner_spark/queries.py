@@ -54,7 +54,14 @@ TURNS_PER_CONV = 8
 # golden.py; regenerate with `python tools/make_golden.py`), materialized at
 # sf0.01 — the scale the driver gate runs at. Single source of truth for
 # every golden-twin SQL string AND bench.py's golden-twin skip filter.
-GOLDEN_DIR = "/root/repo/golden/sf0.01"
+# Derived from the package location so a relocated checkout keeps working;
+# GOLDEN_SF_DIR records the ONLY sf_dir the golden twins are valid against
+# (tools/check_correctness.py skips them with a warning elsewhere).
+import pathlib as _pathlib
+
+GOLDEN_DIR = str(_pathlib.Path(__file__).resolve().parents[1]
+                 / "golden" / "sf0.01")
+GOLDEN_SF_DIR = "/root/testdata/sf0.01"
 
 
 def kg_dict_spec() -> DictionarySpec:

@@ -49,6 +49,12 @@ def test_parquet_fallback_roundtrip(spark, tmp_path):
     cat.append(t.limit(3), "transcripts", partition_by=("bucket",))
     assert cat.read("transcripts").count() == before + 3
 
+    # ...and the mirror case: a PARTITIONED append onto a flat table mixes
+    # layouts just the same — must be rejected, not discovered-broken later
+    with pytest.raises(ValueError, match="flat"):
+        cat.append(t, "extra", partition_by=("bucket",))
+    assert cat.read("extra").count() == t.filter("bucket <= 1").count()
+
 
 def test_iceberg_writeto_path(spark, tmp_path):
     if not iceberg_available(spark):

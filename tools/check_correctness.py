@@ -79,6 +79,17 @@ def main():
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_rows)} rows)")
             continue
+        # golden-twin oracles read parquet materialized from the sf0.01
+        # gate inputs; against any other sf_dir they'd mismatch spuriously
+        from autoner_spark.queries import GOLDEN_DIR, GOLDEN_SF_DIR
+
+        import os.path as _osp
+
+        if (f"read_parquet('{GOLDEN_DIR}" in oracles[name]
+                and _osp.realpath(sf_dir) != _osp.realpath(GOLDEN_SF_DIR)):
+            print(f"skip {name}: golden twin is sf0.01-pinned "
+                  f"(rows-only here: {len(spark_rows)} rows)")
+            continue
         try:
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
