@@ -428,3 +428,49 @@ def test_brute_force_guard_refuses_large_inputs(spark, emb):
     assert brute_force_topk(emb, queries_from_ids(emb, 2), k=2,
                             max_rows=None).count() == 4
     guard_brute_force(emb, emb.count(), "x")  # exactly at cap: allowed
+
+
+def test_lsh_arrow_signatures_match_relational(spark, emb):
+    """The NumPy-matmul mapInArrow signature stage must be bit-identical to
+    the relational explode+join form — buckets, and end-to-end pairs with
+    planted rescaled duplicates — for float64 AND raw float32 inputs."""
+    from autoner_spark.similarity import (
+        embedding_lsh_pairs,
+        lsh_band_buckets,
+        lsh_band_buckets_arrow,
+    )
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    a = {tuple(r) for r in lsh_band_buckets(base, 16, 4).collect()}
+    b = {tuple(r) for r in lsh_band_buckets_arrow(base, 16, 4).collect()}
+    assert a == b and a
+
+    f32 = emb.select("vec_id", "embedding")
+    assert {tuple(r) for r in lsh_band_buckets_arrow(f32, 8, 2).collect()} \
+        == {tuple(r) for r in lsh_band_buckets(f32, 8, 2).collect()}
+
+    dup = base.filter("vec_id < 10").select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    aug = base.unionByName(dup)
+    pj = {tuple(r) for r in embedding_lsh_pairs(aug, threshold=0.99,
+                                                signature="join").collect()}
+    pa_ = {tuple(r) for r in embedding_lsh_pairs(aug, threshold=0.99,
+                                                 signature="arrow").collect()}
+    assert pj == pa_
+    assert {(a_, b_) for a_, b_, _ in pj} >= {(i, i + 50000) for i in range(10)}
+
+    # ragged vectors are rejected, not silently mis-shaped
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="fixed-dimension"):
+        lsh_band_buckets_arrow(ragged, 4, 2).collect()
+
+    with pytest.raises(ValueError, match="signature"):
+        embedding_lsh_pairs(base, signature="bogus")
