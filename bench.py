@@ -57,6 +57,58 @@ DUCK_TABLES = [
 # overhead dominates and strong-scaling numbers are meaningless.
 CONVS_PER_SF = 3_000_000
 
+# --- sf1 section: the heaviest queries at 10x the gate scale, so
+# round-over-round perf claims don't live inside the sf0.1 noise floor.
+# The corpus is a deterministic 10x key-shifted replication of the sf
+# directory (no external data); only the tables these queries read are
+# materialized. ngram_jaccard is deliberately absent: the synthetic
+# 31-word vocabulary makes shingle-df quadratics unrepresentative at 10x
+# (every trigram becomes boilerplate), which measures the fixture, not
+# the operator.
+SF1_FACTOR = 10
+SF1_KEYS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+}
+SF1_QUERIES = [
+    "kg_tag_mentions_dp",
+    "kg_triples_exact",
+    "rel_pricing_summary",
+    "rel_event_sessions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+]
+
+
+def materialize_sf1(spark, sf_dir: str, factor: int = SF1_FACTOR) -> str:
+    """10x the sf directory by unioning key-shifted copies (stride far above
+    any real key, so copies never collide); written once and reused."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/autoner_sf1_x{factor}_from_sf{_sf_from_dir(sf_dir)}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        stride = 10_000_000
+        for table, keys in SF1_KEYS.items():
+            src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+            df = None
+            for k in range(factor):
+                c = src
+                for key in keys:
+                    c = c.withColumn(
+                        key, (F.col(key) + k * stride).cast("long")
+                    )
+                df = c if df is None else df.unionByName(c)
+            df.repartition(32).write.mode("overwrite").parquet(
+                os.path.join(out, f"{table}.parquet")
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -200,6 +252,16 @@ def main() -> None:
     Q.QUERIES["kg_tag_mentions_dp"](spark, sf_dir).count()
     qtimes = time_queries(HEADLINE, spark, sf_dir)
 
+    # sf1 section (10x the gate scale); SPARK_GRAFT_SF1=0 skips
+    sf1 = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        sf1_dir = materialize_sf1(spark, sf_dir)
+        sf1 = {
+            "factor": SF1_FACTOR,
+            "base_sf": sf,
+            "queries": time_queries(SF1_QUERIES, spark, sf1_dir, runs=2),
+        }
+
     # --- scaling corpus (built once, deterministic; the path encodes the
     # generation parameters so a stale cache is never silently reused) ---
     n_convs = max(2_000, int(CONVS_PER_SF * sf))
@@ -236,6 +298,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        "sf1": sf1,
         "duckdb_queries": duck_times,
         "kg_chain_large": chain_large,
         "sf": sf,
