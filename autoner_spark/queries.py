@@ -1794,6 +1794,103 @@ GROUP BY source, cast(floor((cum - n_tokens) / 2048) AS integer)
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document n-gram repetition stats (Gopher-rules family): the
+    quality filter that catches boilerplate and looping generations."""
+    from .textstats import repetition_stats
+
+    return repetition_stats(load_parallel(spark, sf_dir, "documents"), n=3)
+
+
+SQL_TEXT_REPETITION = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, concat_ws(' ', tok, lead(tok, 1) OVER w,
+                             lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+per AS (
+    SELECT doc_id AS id, shingle, count(*) AS c
+    FROM tri WHERE t3 IS NOT NULL
+    GROUP BY doc_id, shingle
+)
+SELECT id, cast(sum(c) AS integer) AS n_shingles,
+       cast(max(c) AS integer) AS max_repeat,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6) AS rep_ratio
+FROM per GROUP BY id
+"""
+
+
+def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER dedup: the pairwise jaccard edges are closed into
+    connected components (transitive near-duplication) and every document
+    is assigned its cluster's canonical representative (min doc_id) — the
+    production retention rule when A~B and B~C but A!~C. Composes the
+    guarded pair generator with the adaptive CC operator; the pair graph is
+    bounded by the near-dup families, not the corpus. Ids run through a
+    fixed-width string key so CC's string-min equals numeric min."""
+    from .dedup import ngram_jaccard_pairs
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=1000)
+    kid = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(kid("id_a").alias("src"), kid("id_b").alias("dst"))
+    selfloops = docs.select(kid("doc_id").alias("src"),
+                            kid("doc_id").alias("dst"))
+    comp = connected_components(edges.unionByName(selfloops))
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("keep_id"),
+    )
+
+
+SQL_DEDUP_CLUSTER_ASSIGN = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, pos, concat_ws(' ', tok,
+           lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh0 AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+pairs AS (
+    SELECT lpad(cast(id_a AS varchar), 12, '0') AS src,
+           lpad(cast(id_b AS varchar), 12, '0') AS dst
+    FROM inter
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b
+    WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT lpad(cast(doc_id AS varchar), 12, '0') AS node FROM documents),
+reach AS (
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT cast(node AS bigint) AS doc_id, cast(comp AS bigint) AS keep_id
+FROM comps
+"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import token_stats
 
@@ -1981,6 +2078,8 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_topk_nprobe": q_sim_ivf_topk_nprobe,
     "text_split_assign": q_text_split_assign,
+    "text_repetition": q_text_repetition,
+    "dedup_cluster_assign": q_dedup_cluster_assign,
     "text_pack_bins": q_text_pack_bins,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -2040,6 +2139,8 @@ ORACLE_SQL = {
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_ivf_topk_nprobe": SQL_SIM_IVF_TOPK_NPROBE,
     "text_split_assign": SQL_TEXT_SPLIT_ASSIGN,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "dedup_cluster_assign": SQL_DEDUP_CLUSTER_ASSIGN,
     "text_pack_bins": SQL_TEXT_PACK_BINS,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -158,6 +158,33 @@ def pack_token_bins(
     )
 
 
+def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_shingles, max_repeat, rep_ratio): within-document n-gram
+    repetition — the Gopher-rules family's "fraction of characters in
+    duplicated n-grams" quality signal, in token-n-gram form. rep_ratio =
+    fraction of n-gram occurrences whose n-gram appears more than once in
+    the document; max_repeat = the most-repeated n-gram's count. Boilerplate
+    and looping generations score high; documents shorter than n tokens
+    yield no shingles and are absent (match with a left join if 0-rows are
+    needed). Two algebraic aggregations, map-side combined — scale-safe."""
+    from .dedup import shingles_df
+
+    per = (
+        shingles_df(docs, n, id_col, text_col, distinct=False)
+        .groupBy("id", "shingle")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("id").agg(
+        F.sum("c").cast("int").alias("n_shingles"),
+        F.max("c").cast("int").alias("max_repeat"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c"), 6,
+        ).alias("rep_ratio"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(id, fp, n_tokens, len_bucket): md5 fingerprint of the

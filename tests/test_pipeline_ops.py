@@ -474,3 +474,42 @@ def test_lsh_arrow_signatures_match_relational(spark, emb):
 
     with pytest.raises(ValueError, match="signature"):
         embedding_lsh_pairs(base, signature="bogus")
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from autoner_spark.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "spam ham eggs " * 10 + "end"),       # heavy trigram repetition
+         (1, "all tokens here are fully distinct ones"),
+         (2, "too short")],                         # < n tokens: no row
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in repetition_stats(docs, n=3).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].rep_ratio > 0.8 and got[0].max_repeat >= 9
+    assert got[1].rep_ratio == 0.0 and got[1].max_repeat == 1
+
+
+def test_dedup_cluster_assign_transitive(spark, tmp_path):
+    """A~B and B~C near-dup edges (but A!~C) must still collapse to ONE
+    cluster with min-id representative — the property pairwise retention
+    rules miss."""
+    from autoner_spark.queries import q_dedup_cluster_assign
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    rows = [
+        (10, " ".join(toks)),
+        (11, " ".join(toks[:9] + ["mu"])),      # ~ doc 10
+        (12, " ".join(["nu"] + toks[1:9] + ["mu"])),  # ~ doc 11, not 10
+        (13, "completely unrelated words in this document here"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("source", F.lit("t")) \
+        .write.parquet(str(sf / "documents.parquet"))
+    got = {r.doc_id: r.keep_id
+           for r in q_dedup_cluster_assign(spark, str(sf)).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 13}
