@@ -122,6 +122,36 @@ class TableCatalog:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
+    def write_bucketed(self, df: DataFrame, table: str, key: str,
+                       n_buckets: int = 32) -> None:
+        """Persist ``df`` hash-BUCKETED (and sorted) by ``key``: two tables
+        bucketed the same way join WITHOUT a shuffle (both sides' output
+        partitioning already satisfies the join requirement) — the
+        co-located-join layout for fact tables that are joined repeatedly
+        on the same key at scale. Parquet backend: ``bucketBy`` +
+        ``saveAsTable`` (bucketing metadata lives in the session catalog;
+        the files are external under the warehouse). Iceberg backend: the
+        hidden-partitioning equivalent is ``partitionedBy(bucket(n, key))``
+        on the V2 writer."""
+        if self.use_iceberg:
+            (df.writeTo(self._ident(table))
+               .partitionedBy(F.bucket(n_buckets, F.col(key)))
+               .using("iceberg").createOrReplace())
+            return
+        (df.write.mode("overwrite")
+           .bucketBy(n_buckets, key).sortBy(key)
+           .option("path", self._path(table))
+           .format("parquet")
+           .saveAsTable(table))
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Read a bucketed table THROUGH THE CATALOG — a plain
+        ``read.parquet`` on the files would lose the bucketing metadata
+        and re-shuffle on the next join."""
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(table))
+        return self.spark.table(table)
+
     def read(self, table: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self._ident(table))

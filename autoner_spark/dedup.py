@@ -316,6 +316,55 @@ def minhash_lsh_drop_stats(
     return group_drop_stats(banded, ["band", "bucket"], max_bucket_size)
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, jaccard): MinHash-LSH candidates VERIFIED with the
+    exact n-gram Jaccard — the standard production composition: LSH bounds
+    the candidate set (no all-pairs scan), the verify pass removes its
+    false positives, so the output carries the exact-similarity guarantee
+    of ``ngram_jaccard_pairs`` at the candidate-generation cost of
+    ``minhash_lsh_pairs``. The verify joins touch only candidate pairs'
+    shingle rows (two equi-joins on id then shingle), never the corpus
+    cross itself."""
+    cand = minhash_lsh_pairs(
+        docs, num_hashes, band_size, n, max_bucket_size, id_col, text_col
+    ).select("id_a", "id_b")
+    sh = shingles_df(docs, n, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

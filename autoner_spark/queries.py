@@ -1304,6 +1304,70 @@ GROUP BY x.id, y.id
 """
 
 
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact-Jaccard verification: the production near-dup
+    composition (bounded candidate cost, exact-similarity output)."""
+    from .dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(load_parallel(spark, sf_dir, "documents"),
+                                  num_hashes=16, band_size=4, n=3,
+                                  threshold=0.5, max_bucket_size=64)
+
+
+SQL_DEDUP_MINHASH_VERIFIED = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, pos, concat_ws(' ', tok,
+           lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+base AS (
+    SELECT id, cast(('0x' || substring(md5(shingle), 1, 8)) AS bigint) AS x
+    FROM sh
+),
+salted AS (
+    SELECT id, h, ((2 * h + 1) * x + h * 12582917) % 2147483647 AS hv
+    FROM base, unnest(range(0, 16)) AS u(h)
+),
+sig AS (SELECT id, h, min(hv) AS minhash FROM salted GROUP BY id, h),
+banded AS (
+    SELECT id, cast(floor(h / 4) AS integer) AS band,
+           md5(string_agg(cast(minhash AS varchar), ',' ORDER BY h)) AS bucket
+    FROM sig GROUP BY id, cast(floor(h / 4) AS integer)
+),
+capped AS (
+    SELECT band, bucket FROM banded GROUP BY band, bucket
+    HAVING count(*) BETWEEN 2 AND 64
+),
+cand AS (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    JOIN capped c ON c.band = x.band AND c.bucket = x.bucket
+),
+dsh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+sz AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS n
+    FROM cand c
+    JOIN dsh a ON a.id = c.id_a
+    JOIN dsh b ON b.id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(n / (sa.sz + sb.sz - n), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.id = id_a
+JOIN sz sb ON sb.id = id_b
+WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import simhash
 
@@ -2068,6 +2132,7 @@ QUERIES = {
     "dedup_apply_ngram": q_dedup_apply_ngram,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -2129,6 +2194,7 @@ ORACLE_SQL = {
     "dedup_apply_ngram": SQL_DEDUP_APPLY_NGRAM,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,

@@ -68,3 +68,37 @@ def test_iceberg_writeto_path(spark, tmp_path):
     assert cat.read("transcripts").count() == t.count()
     cat.append(t.limit(5), "transcripts")
     assert cat.read("transcripts").count() == t.count() + 5
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key must sort-merge-join with ZERO
+    Exchange nodes — the co-located-join layout for repeatedly-joined fact
+    tables at scale (a plain parquet read of the same files re-shuffles)."""
+    t = synth.synth_transcripts(spark, 200, partitions=4).select(
+        "conv_id", "turn_idx", "text"
+    )
+    agg = t.groupBy("conv_id").count()
+    cat = TableCatalog(spark, str(tmp_path / "wh"), force_parquet=True)
+    cat.write_bucketed(t, "bk_turns", "conv_id", n_buckets=8)
+    cat.write_bucketed(agg, "bk_counts", "conv_id", n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = cat.read_bucketed("bk_turns").join(
+            cat.read_bucketed("bk_counts"), "conv_id"
+        )
+        assert j.count() == t.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # contrast: the SAME files read without catalog metadata shuffle
+        raw = spark.read.parquet(str(tmp_path / "wh" / "bk_turns")).join(
+            spark.read.parquet(str(tmp_path / "wh" / "bk_counts")), "conv_id"
+        )
+        raw.count()
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_turns")
+        spark.sql("DROP TABLE IF EXISTS bk_counts")

@@ -513,3 +513,25 @@ def test_dedup_cluster_assign_transitive(spark, tmp_path):
     got = {r.doc_id: r.keep_id
            for r in q_dedup_cluster_assign(spark, str(sf)).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 13: 13}
+
+
+def test_minhash_verified_removes_false_positives(spark, docs):
+    """verified = exact-jaccard filter over the LSH candidate set: every
+    output pair must be a true >=threshold pair (no LSH false positives),
+    and every candidate that IS a true pair must survive."""
+    from autoner_spark.dedup import (
+        minhash_lsh_pairs,
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    cand = {(r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(docs, 16, 4, 3).collect()}
+    ver = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_verified_pairs(docs, 16, 4, 3, 0.5).collect()}
+    assert set(ver) == cand & set(jac)
+    for p, j in ver.items():
+        assert j == jac[p]  # exact jaccard, not an estimate
+    assert cand - set(ver), "fixture should contain LSH false positives"

@@ -72,3 +72,31 @@ def test_windowed_mention_rate_matches_batch(spark, tmp_path):
     }
     assert got, "stream emitted no closed windows"
     assert got.issubset(want)
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: duplicates
+    split across micro-batches are suppressed by cross-batch state (bounded
+    by the watermark horizon, not corpus history); output = one first-seen
+    row per distinct text."""
+    import datetime
+
+    from autoner_spark.streaming.dedup import dedup_stream
+
+    rows = [
+        (i, f"text {i % 5}", datetime.datetime(2026, 1, 1, 0, i % 7))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    path = str(tmp_path / "docs")
+    df.repartition(8).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(path)
+    )
+    out = dedup_stream(stream, horizon="1 hour")
+    assert out.isStreaming
+    run_available_now(out, "stream_dedup", str(tmp_path / "ck_dedup"))
+    got = spark.table("stream_dedup").select("text").collect()
+    assert sorted(r.text for r in got) == [f"text {k}" for k in range(5)]
