@@ -42,8 +42,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
+    "dedup_minhash_verified",
     "sim_topk_cosine",
     "text_quality",
+    "text_repetition",
 ]
 
 DUCK_TABLES = [
@@ -80,6 +82,7 @@ SF1_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "text_repetition",
 ]
 
 
