@@ -401,22 +401,24 @@ GROUP BY token
 
 def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence edges: pairs of surfaces mentioned in the same
-    turn, with counts — the graph-enrichment triples source. Hot entities
-    make (surface_a, surface_b) skewed; the count aggregation is algebraic
-    (map-side combined), and the self-join shuffles on (conv_id, turn_idx)
-    which is NOT skewed — the skew-safe formulation."""
+    turn, with counts — the graph-enrichment triples source. NO self-join:
+    each turn's distinct surface set is collected in-row (bounded by the
+    turn length, never corpus-sized — the safe collect_list case) and its
+    pairs exploded, so the mention lineage runs once through a single
+    (conv_id, turn_idx) shuffle. Hot surface PAIRS only meet at the final
+    count aggregation, which is algebraic (map-side combined) — the
+    skew-safe formulation."""
     m = exact_mentions_df(spark, sf_dir).select(
         "conv_id", "turn_idx", "surface"
-    ).distinct()
-    m = persist_tracked(m)  # both self-join sides read one materialization
-    a, b = m.alias("a"), m.alias("b")
+    )
+    per_turn = m.groupBy("conv_id", "turn_idx").agg(
+        F.array_sort(F.array_distinct(F.collect_list("surface"))).alias("ss")
+    )
     return (
-        a.join(b, ["conv_id", "turn_idx"])
-        .filter(F.col("a.surface") < F.col("b.surface"))
-        .groupBy(
-            F.col("a.surface").alias("surface_a"),
-            F.col("b.surface").alias("surface_b"),
-        )
+        per_turn.select(F.explode("ss").alias("surface_a"), F.col("ss"))
+        .select("surface_a", F.explode("ss").alias("surface_b"))
+        .filter(F.col("surface_a") < F.col("surface_b"))
+        .groupBy("surface_a", "surface_b")
         .agg(F.count("*").alias("n_turns"))
     )
 

@@ -11,7 +11,6 @@ SF = "/root/testdata/sf0.001"
 # every gate query whose implementation persists an internal subtree
 PERSIST_BEARING = [
     "kg_triples_exact",
-    "kg_cooccurrence",
     "kg_eval_pr",
     "kg_eval_chunking",
     "kg_eval_typing",
