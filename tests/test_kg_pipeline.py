@@ -254,3 +254,17 @@ def test_eval_gate_p_r_at_least_095(spark, kg):
     s = span_prf(result["mentions"], gold)
     assert s["precision"] >= 0.95 and s["recall"] >= 0.95  # actual: 1.0
     assert s["f1"] > 0.999
+
+
+def test_exact_mentions_plan_is_shuffle_free(spark):
+    """The exact-match mention scan must stay a zero-Exchange broadcast
+    pipeline: in-row n-gram candidates + one BroadcastHashJoin against the
+    dictionary — the 100x-safe plan shape (any Exchange here would shuffle
+    the whole corpus before the dictionary filter)."""
+    from autoner_spark.queries import exact_mentions_df
+
+    df = exact_mentions_df(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan
