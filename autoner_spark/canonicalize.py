@@ -79,7 +79,7 @@ def connected_components(
             )
 
     if distributed == "star":
-        return connected_components_star(sym, "src", "dst")
+        return connected_components_star(sym, "src", "dst", max_iter=max_iter)
     if distributed != "hashmin":
         raise ValueError(f"unknown distributed CC method: {distributed!r}")
 

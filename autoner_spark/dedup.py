@@ -334,10 +334,14 @@ def minhash_verified_pairs(
     ``minhash_lsh_pairs``. The verify joins touch only candidate pairs'
     shingle rows (two equi-joins on id then shingle), never the corpus
     cross itself."""
+    from .caching import persist_tracked
+
     cand = minhash_lsh_pairs(
         docs, num_hashes, band_size, n, max_bucket_size, id_col, text_col
     ).select("id_a", "id_b")
-    sh = shingles_df(docs, n, id_col, text_col)
+    # three consumers (sizes + both join sides) — persist the distinct
+    # shingle relation so the tokenize/explode/distinct lineage runs once
+    sh = persist_tracked(shingles_df(docs, n, id_col, text_col))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

@@ -1838,8 +1838,11 @@ def q_text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     output, so the gate also pins two-pass == naive."""
     from .textstats import pack_token_bins
 
+    # scale-safe default block size (4096): the broadcast offsets relation
+    # stays ~N/4096 rows; the multi-block two-pass path itself is pinned by
+    # the pytest fixture, which forces many small blocks explicitly
     return pack_token_bins(load_parallel(spark, sf_dir, "documents"),
-                           bin_tokens=2048, block_docs=64)
+                           bin_tokens=2048)
 
 
 SQL_TEXT_PACK_BINS = """
@@ -1897,21 +1900,26 @@ def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components (transitive near-duplication) and every document
     is assigned its cluster's canonical representative (min doc_id) — the
     production retention rule when A~B and B~C but A!~C. Composes the
-    guarded pair generator with the adaptive CC operator; the pair graph is
-    bounded by the near-dup families, not the corpus. Ids run through a
-    fixed-width string key so CC's string-min equals numeric min."""
+    guarded pair generator with the adaptive CC operator; CC runs on the
+    PAIR EDGES ONLY (bounded by the near-dup families, not the corpus) and
+    singletons get their own id via a left-join coalesce — the corpus never
+    enters the iterative graph. Ids run through a fixed-width string key so
+    CC's string-min equals numeric min."""
     from .dedup import ngram_jaccard_pairs
 
     docs = load_parallel(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=1000)
     kid = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
     edges = pairs.select(kid("id_a").alias("src"), kid("id_b").alias("dst"))
-    selfloops = docs.select(kid("doc_id").alias("src"),
-                            kid("doc_id").alias("dst"))
-    comp = connected_components(edges.unionByName(selfloops))
-    return comp.select(
-        F.col("node").cast("long").alias("doc_id"),
-        F.col("comp").cast("long").alias("keep_id"),
+    comp = connected_components(edges)
+    return (
+        docs.select("doc_id", kid("doc_id").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp").cast("long"), F.col("doc_id"))
+            .alias("keep_id"),
+        )
     )
 
 

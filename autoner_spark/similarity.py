@@ -251,17 +251,25 @@ def lsh_band_buckets_arrow(
     buckets in-register. The hyperplanes, the 6dp-rounded sign convention
     and the bucket packing are bit-compatible with the relational form and
     the DuckDB twin (pinned by pytest); the join form remains available for
-    engines without Arrow. Requires fixed-dimension vectors (guarded)."""
+    engines without Arrow. Requires fixed-dimension vectors (guarded).
+    NULL vectors are dropped before the map stage — the same rows the join
+    form's posexplode silently skips — and the id column passes through
+    with its original type (numeric or string ids alike)."""
     import pyarrow as pa
 
-    first_vec = (
-        base.filter(F.col("embedding").isNotNull()).select("embedding").first()
-    )
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    clean = base.filter(F.col("embedding").isNotNull())
+    first_vec = clean.select("embedding").first()
     dim = 1 if first_vec is None else len(first_vec[0])
     n_hyp = bits_per_band * n_bands
     w_t = _hyperplane_matrix(n_hyp, dim).T  # (dim, n_hyp)
 
-    out_schema = "vec_id long, band int, bucket long"
+    out_schema = StructType([
+        StructField("vec_id", base.schema["vec_id"].dataType),
+        StructField("band", IntegerType()),
+        StructField("bucket", LongType()),
+    ])
 
     def compute(batches):
         import numpy as np
@@ -272,7 +280,11 @@ def lsh_band_buckets_arrow(
             n = b.num_rows
             if n == 0:
                 continue
-            vec_ids = b.column(0).to_numpy(zero_copy_only=False)
+            # keep ids as an Arrow array: original type survives (a numpy
+            # round-trip would mangle strings / overflow-check longs)
+            id_rep = b.column(0).take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+            )
             emb = b.column(1)
             offs = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
             if not (offs == dim).all():
@@ -286,15 +298,12 @@ def lsh_band_buckets_arrow(
             bits = (np.round(x @ w_t, 6) > 0).astype(np.int64)
             buckets = bits.reshape(n, n_bands, bits_per_band) @ pows
             yield pa.RecordBatch.from_pydict({
-                "vec_id": pa.array(np.repeat(vec_ids, n_bands),
-                                   type=pa.int64()),
+                "vec_id": id_rep,
                 "band": pa.array(np.tile(bands, n), type=pa.int32()),
                 "bucket": pa.array(buckets.reshape(-1), type=pa.int64()),
             })
 
-    return base.select(
-        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
-    ).mapInArrow(compute, out_schema)
+    return clean.select("vec_id", "embedding").mapInArrow(compute, out_schema)
 
 
 def embedding_lsh_drop_stats(

@@ -262,7 +262,9 @@ def main() -> None:
         sf1 = {
             "factor": SF1_FACTOR,
             "base_sf": sf,
-            "queries": time_queries(SF1_QUERIES, spark, sf1_dir, runs=2),
+            # runs must stay ODD: sorted(ts)[len//2] of 2 runs is the MAX,
+            # not a median, silently biasing sf1 vs the 3-run sf0.1 numbers
+            "queries": time_queries(SF1_QUERIES, spark, sf1_dir, runs=3),
         }
 
     # --- scaling corpus (built once, deterministic; the path encodes the

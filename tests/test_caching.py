@@ -17,6 +17,7 @@ PERSIST_BEARING = [
     "kg_triples_dp",        # build_kg's linked lineage
     "dedup_ngram_jaccard",  # grouped shingle relation
     "dedup_apply_ngram",
+    "dedup_minhash_verified",  # shared shingle relation (verify pass)
 ]
 
 

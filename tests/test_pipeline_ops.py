@@ -535,3 +535,28 @@ def test_minhash_verified_removes_false_positives(spark, docs):
     for p, j in ver.items():
         assert j == jac[p]  # exact jaccard, not an estimate
     assert cand - set(ver), "fixture should contain LSH false positives"
+
+
+def test_lsh_arrow_null_vectors_and_string_ids(spark):
+    """Review regressions: the arrow signature path must (a) silently skip
+    NULL vectors exactly like the relational form's posexplode, and (b)
+    pass non-numeric id columns through with their original type."""
+    from autoner_spark.similarity import lsh_band_buckets, lsh_band_buckets_arrow
+
+    withnull = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, None), (2, [3.0, 1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    a = {tuple(r) for r in lsh_band_buckets(withnull, 4, 2).collect()}
+    b = {tuple(r) for r in lsh_band_buckets_arrow(withnull, 4, 2).collect()}
+    assert a == b
+    assert {r[0] for r in b} == {0, 2}
+
+    sids = spark.createDataFrame(
+        [("doc-a", [1.0, 2.0]), ("doc-b", [2.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = lsh_band_buckets_arrow(sids, 4, 2)
+    assert dict(got.dtypes)["vec_id"] == "string"
+    assert {tuple(r) for r in got.collect()} \
+        == {tuple(r) for r in lsh_band_buckets(sids, 4, 2).collect()}
