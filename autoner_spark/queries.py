@@ -1370,6 +1370,81 @@ WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
 """
 
 
+def q_dedup_jaccard_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the frequent-shingle guard: what
+    ngram_jaccard_pairs(max_shingle_df=1000) would discard on this corpus.
+    One row; zero drops on healthy data (the counter must not cry wolf)."""
+    from .dedup import ngram_jaccard_drop_stats
+
+    return ngram_jaccard_drop_stats(load_parallel(spark, sf_dir, "documents"),
+                                    n=3, max_shingle_df=1000)
+
+
+SQL_DEDUP_JACCARD_DROP_STATS = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, concat_ws(' ', tok, lead(tok, 1) OVER w,
+                             lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+freq AS (SELECT shingle, count(*) AS n FROM sh GROUP BY shingle),
+dropped AS (SELECT n FROM freq WHERE n > 1000)
+SELECT count(*) AS n_dropped_groups,
+       cast(coalesce(sum(n), 0) AS bigint) AS n_dropped_rows
+FROM dropped
+"""
+
+
+def q_dedup_lsh_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the MinHash-LSH bucket cap (max_bucket_size=64)."""
+    from .dedup import minhash_lsh_drop_stats
+
+    return minhash_lsh_drop_stats(load_parallel(spark, sf_dir, "documents"),
+                                  num_hashes=16, band_size=4, n=3,
+                                  max_bucket_size=64)
+
+
+SQL_DEDUP_LSH_DROP_STATS = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, concat_ws(' ', tok, lead(tok, 1) OVER w,
+                             lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+base AS (
+    SELECT id, cast(('0x' || substring(md5(shingle), 1, 8)) AS bigint) AS x
+    FROM sh
+),
+salted AS (
+    SELECT id, h, ((2 * h + 1) * x + h * 12582917) % 2147483647 AS hv
+    FROM base, unnest(range(0, 16)) AS u(h)
+),
+sig AS (SELECT id, h, min(hv) AS minhash FROM salted GROUP BY id, h),
+banded AS (
+    SELECT id, cast(floor(h / 4) AS integer) AS band,
+           md5(string_agg(cast(minhash AS varchar), ',' ORDER BY h)) AS bucket
+    FROM sig GROUP BY id, cast(floor(h / 4) AS integer)
+),
+freq AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket),
+dropped AS (SELECT n FROM freq WHERE n > 64)
+SELECT count(*) AS n_dropped_groups,
+       cast(coalesce(sum(n), 0) AS bigint) AS n_dropped_rows
+FROM dropped
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import simhash
 
@@ -1723,6 +1798,51 @@ FROM (
                               ORDER BY cosine DESC, vec_id) AS rnk
     FROM qscored
 ) WHERE rnk <= 3
+"""
+
+
+def q_dedup_embedding_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the sign-LSH bucket cap (max_bucket_size=64) over
+    the raw embeddings table."""
+    from .similarity import embedding_lsh_drop_stats
+
+    return embedding_lsh_drop_stats(load_parallel(spark, sf_dir, "embeddings"),
+                                    bits_per_band=16, n_bands=4,
+                                    max_bucket_size=64)
+
+
+SQL_DEDUP_EMBEDDING_DROP_STATS = """
+WITH ex AS (
+    SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+           cast(unnest(embedding) AS double) AS x
+    FROM embeddings
+),
+dims AS (SELECT DISTINCT unnest(range(0, len(embedding))) AS d FROM embeddings),
+hyp AS (
+    SELECT j, d,
+           cast(('0x' || substring(md5(concat(j, ':', d)), 1, 8)) AS bigint)
+               / 2147483648.0 - 1.0 AS w
+    FROM range(0, 64) t1(j), dims t2
+),
+dots AS (
+    SELECT e.vec_id, h.j, sum(e.x * h.w) AS dot
+    FROM ex e JOIN hyp h USING (d)
+    GROUP BY e.vec_id, h.j
+),
+bits AS (
+    SELECT vec_id, j, CASE WHEN round(dot, 6) > 0 THEN 1 ELSE 0 END AS bit
+    FROM dots
+),
+bucketed AS (
+    SELECT vec_id, cast(floor(j / 16) AS integer) AS band,
+           cast(sum(bit * cast(pow(2, j % 16) AS bigint)) AS bigint) AS bucket
+    FROM bits GROUP BY vec_id, cast(floor(j / 16) AS integer)
+),
+freq AS (SELECT band, bucket, count(*) AS n FROM bucketed GROUP BY band, bucket),
+dropped AS (SELECT n FROM freq WHERE n > 64)
+SELECT count(*) AS n_dropped_groups,
+       cast(coalesce(sum(n), 0) AS bigint) AS n_dropped_rows
+FROM dropped
 """
 
 
@@ -2143,6 +2263,9 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_jaccard_drop_stats": q_dedup_jaccard_drop_stats,
+    "dedup_lsh_drop_stats": q_dedup_lsh_drop_stats,
+    "dedup_embedding_drop_stats": q_dedup_embedding_drop_stats,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -2205,6 +2328,9 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
+    "dedup_jaccard_drop_stats": SQL_DEDUP_JACCARD_DROP_STATS,
+    "dedup_lsh_drop_stats": SQL_DEDUP_LSH_DROP_STATS,
+    "dedup_embedding_drop_stats": SQL_DEDUP_EMBEDDING_DROP_STATS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
