@@ -316,6 +316,74 @@ def minhash_lsh_drop_stats(
     return group_drop_stats(banded, ["band", "bucket"], max_bucket_size)
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_blocks: int = 4,
+    max_bucket_size: int | None = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate pairs whose SimHash signatures
+    differ in at most ``max_hamming`` bits — the Manku/Jain/Sarma WWW'07
+    web-dedup scheme. The signature is split into ``n_blocks`` equal-width
+    blocks; by pigeonhole, any pair within ``max_hamming < n_blocks``
+    differing bits shares at least one IDENTICAL block, so block-bucket
+    candidate generation has exact recall (unlike probabilistic LSH), and
+    verification is one integer ``bit_count(xor)`` per candidate.
+
+    Same plan family as the other pair generators: grouped-bucket in-row
+    pair explosion (no self-join), pre-collect skew cap (an all-identical
+    boilerplate family would otherwise materialize one giant bucket — note
+    the cap, when it fires, is the one thing that can cost recall; size it
+    above the largest expected exact-dup family or run exact_dedup first)."""
+    if bits % n_blocks != 0:
+        raise ValueError(f"bits ({bits}) must divide into n_blocks "
+                         f"({n_blocks}) equal-width blocks")
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_blocks ({n_blocks}) "
+            f"for the pigeonhole recall guarantee to hold"
+        )
+    block_bits = bits // n_blocks
+    sig = simhash(docs, bits, id_col, text_col)
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            (F.floor(F.col("simhash") / F.pow(F.lit(2), F.lit(b * block_bits)))
+             .cast("long") % (2 ** block_bits)).alias("block"),
+        )
+        for b in range(n_blocks)
+    ]
+    blocks = sig.select(
+        "id", F.explode(F.array(*block_structs)).alias("bb")
+    ).select("id", F.col("bb.b").alias("b"), F.col("bb.block").alias("block"))
+    kept = _cap_group_size(blocks, ["b", "block"], max_bucket_size,
+                           min_size=2)
+    grouped = kept.groupBy("b", "block").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    cand = (
+        grouped.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def minhash_verified_pairs(
     docs: DataFrame,
     num_hashes: int = 16,

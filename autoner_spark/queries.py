@@ -1470,6 +1470,58 @@ FROM votes GROUP BY id
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup pairs (Manku et al. WWW'07): block-bucket
+    candidates with pigeonhole-exact recall + one bit_count(xor) verify."""
+    from .dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load_parallel(spark, sf_dir, "documents"),
+                                 max_hamming=3, bits=32, n_blocks=4,
+                                 max_bucket_size=256)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = """
+WITH toks AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+th AS (
+    SELECT id, cast(('0x' || substring(md5(token), 1, 8)) AS bigint) AS hv
+    FROM toks
+),
+votes AS (
+    SELECT id, b, sum((cast(floor(hv / pow(2, b)) AS bigint) % 2) * 2 - 1) AS v
+    FROM th, unnest(range(0, 32)) AS u(b)
+    GROUP BY id, b
+),
+sig AS (
+    SELECT id, cast(sum(CASE WHEN v > 0 THEN cast(pow(2, b) AS bigint)
+                        ELSE 0 END) AS bigint) AS simhash
+    FROM votes GROUP BY id
+),
+blocks AS (
+    SELECT id, b, cast(floor(simhash / pow(2, b * 8)) AS bigint) % 256 AS block
+    FROM sig, unnest(range(0, 4)) AS u(b)
+),
+freq AS (
+    SELECT b, block FROM blocks GROUP BY b, block
+    HAVING count(*) BETWEEN 2 AND 256
+),
+cand AS (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM blocks x
+    JOIN blocks y ON x.b = y.b AND x.block = y.block AND x.id < y.id
+    JOIN freq f ON f.b = x.b AND f.block = x.block
+)
+SELECT c.id_a, c.id_b,
+       cast(bit_count(xor(sa.simhash, sb.simhash)) AS integer) AS hamming
+FROM cand c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors whose cosine >= 0.45
     (the synthetic embeddings are near-orthogonal; max pairwise cosine ~0.51).
@@ -2267,6 +2319,7 @@ QUERIES = {
     "dedup_lsh_drop_stats": q_dedup_lsh_drop_stats,
     "dedup_embedding_drop_stats": q_dedup_embedding_drop_stats,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_decontaminate": q_dedup_decontaminate,
@@ -2332,6 +2385,7 @@ ORACLE_SQL = {
     "dedup_lsh_drop_stats": SQL_DEDUP_LSH_DROP_STATS,
     "dedup_embedding_drop_stats": SQL_DEDUP_EMBEDDING_DROP_STATS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "dedup_decontaminate": SQL_DEDUP_DECONTAMINATE,

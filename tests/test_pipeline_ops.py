@@ -560,3 +560,28 @@ def test_lsh_arrow_null_vectors_and_string_ids(spark):
     assert dict(got.dtypes)["vec_id"] == "string"
     assert {tuple(r) for r in got.collect()} \
         == {tuple(r) for r in lsh_band_buckets(sids, 4, 2).collect()}
+
+
+def test_simhash_hamming_pairs_exact_recall(spark, docs):
+    """Pigeonhole guarantee: with 4 blocks and max_hamming=3, the
+    block-bucket candidate scheme must find EXACTLY the brute-force
+    hamming<=3 pair set (uncapped run)."""
+    from itertools import combinations
+
+    from autoner_spark.dedup import simhash, simhash_hamming_pairs
+
+    sig = {r.id: r.simhash for r in simhash(docs).collect()}
+    want = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a, b in combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_hamming_pairs(docs, max_hamming=3,
+                                          max_bucket_size=None).collect()}
+    assert got == want and want
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(docs, max_hamming=4, n_blocks=4)
+    with pytest.raises(ValueError, match="equal-width"):
+        simhash_hamming_pairs(docs, bits=32, n_blocks=5)
