@@ -2137,6 +2137,43 @@ FROM comps
 """
 
 
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: each source keeps a different
+    fraction (web 25%, books 75%, everything else 50%) — the data-mixing
+    primitive for training-set composition. Content-stable (hash of
+    doc_id, not rand()): re-runs, resharding and different partitionings
+    all select the same rows, and the sample composes with the split
+    assignment. Map-only: no shuffle, no sampling state."""
+    d = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("strat:"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long") % 100
+    )
+    rate = (
+        F.when(F.col("source") == "web", 25)
+        .when(F.col("source") == "books", 75)
+        .otherwise(50)
+    )
+    return d.select("doc_id", "source", h.alias("h")).filter(
+        F.col("h") < rate
+    ).select("doc_id", "source")
+
+
+SQL_TEXT_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           cast(('0x' || substring(md5(concat('strat:',
+                cast(doc_id AS varchar))), 1, 8)) AS bigint) % 100 AS h,
+           CASE WHEN source = 'web' THEN 25
+                WHEN source = 'books' THEN 75 ELSE 50 END AS rate
+    FROM documents
+)
+WHERE h < rate
+"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import token_stats
 
@@ -2329,6 +2366,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_topk_nprobe": q_sim_ivf_topk_nprobe,
     "text_split_assign": q_text_split_assign,
+    "text_stratified_sample": q_text_stratified_sample,
     "text_repetition": q_text_repetition,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "text_pack_bins": q_text_pack_bins,
@@ -2395,6 +2433,7 @@ ORACLE_SQL = {
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_ivf_topk_nprobe": SQL_SIM_IVF_TOPK_NPROBE,
     "text_split_assign": SQL_TEXT_SPLIT_ASSIGN,
+    "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
     "text_repetition": SQL_TEXT_REPETITION,
     "dedup_cluster_assign": SQL_DEDUP_CLUSTER_ASSIGN,
     "text_pack_bins": SQL_TEXT_PACK_BINS,
