@@ -1145,6 +1145,97 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase gets the user's latest click at-or-before
+    it (the point-in-time feature lookup). Spark side: union + one window
+    pass (timejoin.asof_join); DuckDB twin: the engine's native ASOF JOIN —
+    two independent implementations of the semantics."""
+    from .timejoin import asof_join
+
+    e = load(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", tus.alias("ctus"), F.col("event_id").alias("click_id")
+    ).withColumn("tus", F.col("ctus"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), tus.alias("tus")
+    )
+    out = asof_join(purchases, clicks, ["user_id"], "tus",
+                    ["ctus", "click_id"])
+    return out.select(
+        "purchase_id", "user_id",
+        F.floor(F.col("tus") / 1_000_000).cast("long").alias("t_sec"),
+        "click_id",
+        F.floor((F.col("tus") - F.col("ctus")) / 1_000_000)
+        .cast("long").alias("click_gap_sec"),
+    )
+
+
+SQL_REL_EVENTS_ASOF = """
+WITH c AS (
+    SELECT user_id, epoch_us(ts) AS ctus, event_id AS click_id
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tus
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       cast(floor(p.tus / 1000000) AS bigint) AS t_sec,
+       c.click_id,
+       cast(floor((p.tus - c.ctus) / 1000000) AS bigint) AS click_gap_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.ctus
+"""
+
+
+def q_rel_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: clicks in the 60s window before each error, counted per
+    error (burst attribution). Spark side: time-bucketed equi-join
+    (timejoin.range_join — never a nested loop); DuckDB twin: the plain
+    inequality join."""
+    from .timejoin import range_join
+
+    e = load(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), tus.alias("etus")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), tus.alias("ctus")
+    )
+    pairs = range_join(errors, clicks, ["user_id"], "etus", "ctus",
+                       lo=-60_000_000, hi=0)
+    counts = pairs.groupBy("error_id").agg(
+        F.count("*").alias("n_clicks_60s")
+    )
+    return (
+        errors.join(counts, "error_id", "left")
+        .select(
+            "error_id", "user_id",
+            F.coalesce("n_clicks_60s", F.lit(0)).cast("long")
+            .alias("n_clicks_60s"),
+        )
+    )
+
+
+SQL_REL_EVENTS_RANGE_JOIN = """
+WITH er AS (
+    SELECT user_id, event_id AS error_id, epoch_us(ts) AS etus
+    FROM events WHERE event_type = 'error'
+),
+c AS (
+    SELECT user_id, event_id AS click_id, epoch_us(ts) AS ctus
+    FROM events WHERE event_type = 'click'
+)
+SELECT er.error_id, er.user_id,
+       cast(count(c.click_id) AS bigint) AS n_clicks_60s
+FROM er LEFT JOIN c
+  ON c.user_id = er.user_id
+ AND c.ctus BETWEEN er.etus - 60000000 AND er.etus
+GROUP BY er.error_id, er.user_id
+"""
+
+
 def q_dedup_apply_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the near-dup dedup: retain documents that are not the
     higher-id member of any >=0.5-Jaccard pair (standard MinHash-dedup
@@ -2347,6 +2438,8 @@ QUERIES = {
     "rel_pivot_status": q_rel_pivot_status,
     "rel_acctbal_quantiles": q_rel_acctbal_quantiles,
     "rel_event_sessions": q_rel_event_sessions,
+    "rel_events_asof": q_rel_events_asof,
+    "rel_events_range_join": q_rel_events_range_join,
     "dedup_exact": q_dedup_exact,
     "dedup_apply_ngram": q_dedup_apply_ngram,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2414,6 +2507,8 @@ ORACLE_SQL = {
     "rel_pivot_status": SQL_REL_PIVOT_STATUS,
     "rel_acctbal_quantiles": SQL_REL_ACCTBAL_QUANTILES,
     "rel_event_sessions": SQL_REL_EVENT_SESSIONS,
+    "rel_events_asof": SQL_REL_EVENTS_ASOF,
+    "rel_events_range_join": SQL_REL_EVENTS_RANGE_JOIN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_apply_ngram": SQL_DEDUP_APPLY_NGRAM,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

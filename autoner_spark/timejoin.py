@@ -1,0 +1,112 @@
+"""Time-series joins Spark lacks as primitives: AS-OF and RANGE joins.
+
+Both are expressed as compositions that stay scale-safe — neither ever
+plans a nested-loop/cartesian node:
+
+* ``asof_join`` — each left row picks the LATEST right row with
+  right.ts <= left.ts per key (the point-in-time lookup every feature
+  pipeline needs). Implemented as union-with-role-tag + ONE window pass
+  with ``last(..., ignorenulls)``: O(n log n) sort per key partition, no
+  range fan-out at all. This is the batch dual of a streaming as-of; the
+  DuckDB twin uses its native ``ASOF JOIN`` — two independent
+  implementations of the same semantics.
+
+* ``range_join`` — all (left, right) pairs with
+  right.ts - left.ts in [lo, hi] per key. A naive inequality join plans a
+  per-key nested loop; here right rows are hashed into fixed-width time
+  buckets (width = hi - lo) and each left row probes the <= 2 buckets its
+  window can overlap — an EQUI-join on (key, bucket) plus a residual range
+  filter, so the plan is a plain shuffled hash join with bounded 2x
+  fan-out on the left.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left rows + the latest right row (its ``value_cols``) with
+    right.ts <= left.ts, per ``keys``; NULLs where no right row precedes.
+
+    Ties: a right row at exactly left.ts matches (<=); among right rows
+    sharing one timestamp the greatest ``value_cols`` tuple wins
+    (deterministic — documented, pinned by the gate twin)."""
+    lstruct = StructType([left.schema[c] for c in left.columns])
+    lu = left.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_role"),
+        F.struct(*left.columns).alias("_l"),
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(v)
+            for v in value_cols
+        ],
+    )
+    ru = right.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_role"),
+        F.lit(None).cast(lstruct).alias("_l"),
+        *value_cols,
+    )
+    # right rows (_role=0) sort BEFORE a left row at the same ts -> included
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_role", *[F.col(v) for v in value_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.when(F.col("_role") == 0, F.col(v)), ignorenulls=True)
+        .over(w).alias(v)
+        for v in value_cols
+    ]
+    tagged = lu.unionByName(ru).select("_role", "_l", *carried)
+    out_left = [F.col("_l")[c].alias(c) for c in left.columns]
+    return tagged.filter(F.col("_role") == 1).select(*out_left, *value_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """All (left x right) rows with right_ts - left_ts in [lo, hi] per
+    ``keys`` (integer time units; lo <= hi). Column names of the two sides
+    must be disjoint apart from ``keys``.
+
+    Bucket width = hi - lo: right lands in floor(right_ts / W); a left
+    row's window [left_ts+lo, left_ts+hi] overlaps at most 2 consecutive
+    buckets, enumerated with ``sequence`` and exploded — turning the range
+    predicate into an equi-join + residual filter."""
+    if lo > hi:
+        raise ValueError(f"empty range: lo ({lo}) > hi ({hi})")
+    width = max(hi - lo, 1)
+    r = right.withColumn(
+        "_bkt", F.floor(F.col(right_ts) / width).cast("long")
+    )
+    l_ = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(left_ts) + lo) / width).cast("long"),
+                F.floor((F.col(left_ts) + hi) / width).cast("long"),
+            )
+        ),
+    )
+    joined = l_.join(r, [*keys, "_bkt"])
+    delta = F.col(right_ts) - F.col(left_ts)
+    return joined.filter((delta >= lo) & (delta <= hi)).drop("_bkt")

@@ -1,0 +1,67 @@
+"""As-of and range joins: semantics vs naive references, plan shape."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_semantics(spark):
+    from autoner_spark.timejoin import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "L1"), ("u1", 205, "L2"), ("u2", 50, "L3"),
+         ("u3", 10, "L4")],  # u3 has no right rows at all
+        "k string, tus long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "R-tie"),    # exactly at L1's ts -> matches (<=)
+         ("u1", 90, "R-early"), ("u1", 200, "R-mid"),
+         ("u1", 300, "R-late"),   # after both lefts -> never matches
+         ("u2", 60, "R-after")],  # after L3 -> no match
+        "k string, tus long, rid string",
+    )
+    got = {r.lid: r.rid
+           for r in asof_join(left, right, ["k"], "tus", ["rid"]).collect()}
+    assert got == {"L1": "R-tie", "L2": "R-mid", "L3": None, "L4": None}
+
+    # determinism under repartitioning
+    again = {r.lid: r.rid
+             for r in asof_join(left.repartition(7), right.repartition(5),
+                                ["k"], "tus", ["rid"]).collect()}
+    assert again == got
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """Bucketed range join == the naive inequality join on a randomized
+    fixture, and its plan must be an equi-join (no nested loop)."""
+    import random
+
+    from autoner_spark.timejoin import range_join
+
+    rng = random.Random(42)
+    left = spark.createDataFrame(
+        [(f"u{i % 7}", i, rng.randrange(0, 1000)) for i in range(300)],
+        "k string, lid long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(f"u{i % 7}", 1000 + i, rng.randrange(0, 1000)) for i in range(300)],
+        "k string, rid long, rts long",
+    )
+    lo, hi = -37, 53
+    got = {(r.lid, r.rid)
+           for r in range_join(left, right, ["k"], "lts", "rts",
+                               lo=lo, hi=hi).collect()}
+    naive = {
+        (r.lid, r.rid)
+        for r in left.join(right, "k")
+        .filter((F.col("rts") - F.col("lts") >= lo)
+                & (F.col("rts") - F.col("lts") <= hi)).collect()
+    }
+    assert got == naive and got
+
+    plan = range_join(left, right, ["k"], "lts", "rts", lo=lo, hi=hi) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError, match="empty range"):
+        range_join(left, right, ["k"], "lts", "rts", lo=5, hi=4)
