@@ -1236,6 +1236,122 @@ GROUP BY er.error_id, er.user_id
 """
 
 
+def q_rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup (continuous-aggregate
+    shape): minute-level aggregates are computed ONCE from the raw events;
+    hour re-aggregates the minute PARTIALS and day re-aggregates hours —
+    the raw table is scanned exactly once regardless of how many
+    granularities are materialized, because count/sum are algebraic. The
+    DuckDB twin computes every level directly from raw, so the gate equality
+    IS the proof that the partial re-aggregation composes correctly."""
+    e = load(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    minute = F.floor(tus / 60_000_000).cast("long")
+    m = e.groupBy(minute.alias("b"), "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    h = m.groupBy(F.floor(F.col("b") / 60).cast("long").alias("b"),
+                  "event_type").agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    d = h.groupBy(F.floor(F.col("b") / 24).cast("long").alias("b"),
+                  "event_type").agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+
+    def lvl(df, name, secs):
+        return df.select(
+            F.lit(name).alias("level"),
+            (F.col("b") * secs).cast("long").alias("bucket_start_sec"),
+            "event_type", F.col("n").cast("long").alias("n_events"),
+            F.round("v", 2).alias("total_value"),
+        )
+
+    return (
+        lvl(m, "minute", 60)
+        .unionByName(lvl(h, "hour", 3600))
+        .unionByName(lvl(d, "day", 86400))
+    )
+
+
+SQL_REL_TIME_ROLLUP = """
+WITH base AS (
+    SELECT epoch_us(ts) AS tus, event_type, value FROM events
+),
+m AS (
+    SELECT cast(floor(tus / 60000000) AS bigint) AS b, event_type,
+           count(*) AS n, sum(value) AS v
+    FROM base GROUP BY 1, 2
+),
+h AS (
+    SELECT cast(floor(tus / 3600000000) AS bigint) AS b, event_type,
+           count(*) AS n, sum(value) AS v
+    FROM base GROUP BY 1, 2
+),
+d AS (
+    SELECT cast(floor(tus / 86400000000) AS bigint) AS b, event_type,
+           count(*) AS n, sum(value) AS v
+    FROM base GROUP BY 1, 2
+)
+SELECT 'minute' AS level, cast(b * 60 AS bigint) AS bucket_start_sec,
+       event_type, cast(n AS bigint) AS n_events, round(v, 2) AS total_value
+FROM m
+UNION ALL
+SELECT 'hour', cast(b * 3600 AS bigint), event_type, cast(n AS bigint),
+       round(v, 2) FROM h
+UNION ALL
+SELECT 'day', cast(b * 86400 AS bigint), event_type, cast(n AS bigint),
+       round(v, 2) FROM d
+"""
+
+
+def q_rel_lpc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCH, engine-portable: linear probabilistic
+    counting (Whang et al. '90). Each user hashes into one of m=4096
+    bitmap positions; estimate = -m * ln(empty_fraction). Unlike HLL
+    (engine-specific registers, not gateable), the occupied-position count
+    is plain relational math — and it is scale-safe: the aggregation state
+    is bounded by m per group (map-side combinable), never by the number
+    of distinct users. Exact count kept alongside to expose the error."""
+    e = load(spark, sf_dir, "events")
+    m = 4096
+    idx = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("lpc:"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10).cast("long") % m
+    )
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct(idx).alias("occupied"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("occupied").cast("long").alias("occupied"),
+        F.round(-m * F.log(1.0 - F.col("occupied") / float(m)), 2)
+        .alias("lpc_estimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+
+
+SQL_REL_LPC_DISTINCT = """
+WITH h AS (
+    SELECT event_type, user_id,
+           cast(('0x' || substring(md5(concat('lpc:',
+                cast(user_id AS varchar))), 1, 8)) AS bigint) % 4096 AS idx
+    FROM events
+),
+agg AS (
+    SELECT event_type, count(DISTINCT idx) AS occupied,
+           count(DISTINCT user_id) AS n_exact
+    FROM h GROUP BY event_type
+)
+SELECT event_type, cast(occupied AS bigint) AS occupied,
+       round(-4096 * ln(1.0 - occupied / 4096.0), 2) AS lpc_estimate,
+       cast(n_exact AS bigint) AS n_exact
+FROM agg
+"""
+
+
 def q_dedup_apply_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the near-dup dedup: retain documents that are not the
     higher-id member of any >=0.5-Jaccard pair (standard MinHash-dedup
@@ -2440,6 +2556,8 @@ QUERIES = {
     "rel_event_sessions": q_rel_event_sessions,
     "rel_events_asof": q_rel_events_asof,
     "rel_events_range_join": q_rel_events_range_join,
+    "rel_time_rollup": q_rel_time_rollup,
+    "rel_lpc_distinct": q_rel_lpc_distinct,
     "dedup_exact": q_dedup_exact,
     "dedup_apply_ngram": q_dedup_apply_ngram,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2509,6 +2627,8 @@ ORACLE_SQL = {
     "rel_event_sessions": SQL_REL_EVENT_SESSIONS,
     "rel_events_asof": SQL_REL_EVENTS_ASOF,
     "rel_events_range_join": SQL_REL_EVENTS_RANGE_JOIN,
+    "rel_time_rollup": SQL_REL_TIME_ROLLUP,
+    "rel_lpc_distinct": SQL_REL_LPC_DISTINCT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_apply_ngram": SQL_DEDUP_APPLY_NGRAM,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

@@ -585,3 +585,25 @@ def test_simhash_hamming_pairs_exact_recall(spark, docs):
         simhash_hamming_pairs(docs, max_hamming=4, n_blocks=4)
     with pytest.raises(ValueError, match="equal-width"):
         simhash_hamming_pairs(docs, bits=32, n_blocks=5)
+
+
+def test_lpc_sketch_accuracy(spark, tmp_path):
+    """Linear probabilistic counting: estimate within ~5% of the true
+    cardinality at load factor n/m << 1, and exactly portable math (the
+    gate pins cross-engine equality; this pins accuracy)."""
+    import datetime
+
+    rows = [(i, datetime.datetime(2026, 1, 1), i % 1000, "t", 1.0, "{}")
+            for i in range(20000)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    ).write.parquet(str(sf / "events.parquet"))
+
+    from autoner_spark.queries import q_rel_lpc_distinct
+
+    r = q_rel_lpc_distinct(spark, str(sf)).collect()[0]
+    assert r.n_exact == 1000
+    assert abs(r.lpc_estimate - 1000) / 1000 < 0.05, r.lpc_estimate
