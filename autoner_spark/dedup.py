@@ -346,8 +346,12 @@ def simhash_hamming_pairs(
             f"max_hamming ({max_hamming}) must be < n_blocks ({n_blocks}) "
             f"for the pigeonhole recall guarantee to hold"
         )
+    from .caching import persist_tracked
+
     block_bits = bits // n_blocks
-    sig = simhash(docs, bits, id_col, text_col)
+    # three consumers (block explosion + both verify join sides) — persist
+    # so the token-hash/vote lineage runs once
+    sig = persist_tracked(simhash(docs, bits, id_col, text_col))
     block_structs = [
         F.struct(
             F.lit(b).alias("b"),

@@ -1172,6 +1172,10 @@ def q_rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_REL_EVENTS_ASOF = """
+-- native ASOF JOIN picks the max matching ctus (well-defined), but makes
+-- no tiebreak guarantee among equal-ctus rows; click_id is therefore
+-- re-resolved deterministically (max id at the matched ctus) to mirror
+-- asof_join's greatest-value-tuple rule
 WITH c AS (
     SELECT user_id, epoch_us(ts) AS ctus, event_id AS click_id
     FROM events WHERE event_type = 'click'
@@ -1179,12 +1183,18 @@ WITH c AS (
 p AS (
     SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tus
     FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+    SELECT p.purchase_id, p.user_id, p.tus, c.ctus
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.ctus
 )
-SELECT p.purchase_id, p.user_id,
-       cast(floor(p.tus / 1000000) AS bigint) AS t_sec,
-       c.click_id,
-       cast(floor((p.tus - c.ctus) / 1000000) AS bigint) AS click_gap_sec
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.ctus
+SELECT m.purchase_id, m.user_id,
+       cast(floor(m.tus / 1000000) AS bigint) AS t_sec,
+       max(c2.click_id) AS click_id,
+       cast(floor((m.tus - m.ctus) / 1000000) AS bigint) AS click_gap_sec
+FROM matched m
+LEFT JOIN c c2 ON c2.user_id = m.user_id AND c2.ctus = m.ctus
+GROUP BY m.purchase_id, m.user_id, m.tus, m.ctus
 """
 
 
@@ -1324,11 +1334,16 @@ def q_rel_lpc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(idx).alias("occupied"),
         F.countDistinct("user_id").alias("n_exact"),
     )
+    # saturated bitmap (every position hit): the estimate is undefined
+    # (ln 0) — emit NULL identically on both engines instead of letting
+    # Spark return NULL while DuckDB raises; choose a larger m there
     return agg.select(
         "event_type",
         F.col("occupied").cast("long").alias("occupied"),
-        F.round(-m * F.log(1.0 - F.col("occupied") / float(m)), 2)
-        .alias("lpc_estimate"),
+        F.when(
+            F.col("occupied") < m,
+            F.round(-m * F.log(1.0 - F.col("occupied") / float(m)), 2),
+        ).alias("lpc_estimate"),
         F.col("n_exact").cast("long").alias("n_exact"),
     )
 
@@ -1346,7 +1361,9 @@ agg AS (
     FROM h GROUP BY event_type
 )
 SELECT event_type, cast(occupied AS bigint) AS occupied,
-       round(-4096 * ln(1.0 - occupied / 4096.0), 2) AS lpc_estimate,
+       CASE WHEN occupied < 4096
+            THEN round(-4096 * ln(1.0 - occupied / 4096.0), 2)
+       END AS lpc_estimate,
        cast(n_exact AS bigint) AS n_exact
 FROM agg
 """

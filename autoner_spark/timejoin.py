@@ -40,39 +40,41 @@ def asof_join(
 
     Ties: a right row at exactly left.ts matches (<=); among right rows
     sharing one timestamp the greatest ``value_cols`` tuple wins
-    (deterministic — documented, pinned by the gate twin)."""
+    (deterministic). Right rows with a NULL timestamp never match (ASOF
+    semantics: the <= comparison is unknowable). All value columns are
+    carried as ONE struct so the matched values always come from a single
+    right row — carrying them independently would stitch columns from
+    different rows whenever a matched row holds a NULL value."""
     lstruct = StructType([left.schema[c] for c in left.columns])
+    rstruct_t = StructType([right.schema[v] for v in value_cols])
     lu = left.select(
         *keys,
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_role"),
         F.struct(*left.columns).alias("_l"),
-        *[
-            F.lit(None).cast(right.schema[v].dataType).alias(v)
-            for v in value_cols
-        ],
+        F.lit(None).cast(rstruct_t).alias("_r"),
     )
-    ru = right.select(
+    ru = right.filter(F.col(ts_col).isNotNull()).select(
         *keys,
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_role"),
         F.lit(None).cast(lstruct).alias("_l"),
-        *value_cols,
+        F.struct(*value_cols).alias("_r"),
     )
-    # right rows (_role=0) sort BEFORE a left row at the same ts -> included
+    # right rows (_role=0) sort BEFORE a left row at the same ts -> included;
+    # the struct ordering makes the greatest value tuple win among ts ties
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", "_role", *[F.col(v) for v in value_cols])
+        .orderBy("_ts", "_role", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.when(F.col("_role") == 0, F.col(v)), ignorenulls=True)
-        .over(w).alias(v)
-        for v in value_cols
-    ]
-    tagged = lu.unionByName(ru).select("_role", "_l", *carried)
+    carried = F.last(
+        F.when(F.col("_role") == 0, F.col("_r")), ignorenulls=True
+    ).over(w).alias("_rm")
+    tagged = lu.unionByName(ru).select("_role", "_l", carried)
     out_left = [F.col("_l")[c].alias(c) for c in left.columns]
-    return tagged.filter(F.col("_role") == 1).select(*out_left, *value_cols)
+    out_right = [F.col("_rm")[v].alias(v) for v in value_cols]
+    return tagged.filter(F.col("_role") == 1).select(*out_left, *out_right)
 
 
 def range_join(

@@ -18,6 +18,7 @@ PERSIST_BEARING = [
     "dedup_ngram_jaccard",  # grouped shingle relation
     "dedup_apply_ngram",
     "dedup_minhash_verified",  # shared shingle relation (verify pass)
+    "dedup_simhash_pairs",     # shared signature relation
 ]
 
 

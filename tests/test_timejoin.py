@@ -65,3 +65,44 @@ def test_range_join_matches_naive_inequality_join(spark):
 
     with pytest.raises(ValueError, match="empty range"):
         range_join(left, right, ["k"], "lts", "rts", lo=5, hi=4)
+
+
+def test_asof_join_null_values_and_null_timestamps(spark):
+    """Review regressions: (a) a matched right row with a NULL value column
+    must NOT be stitched with values from an older row (one-struct carry);
+    (b) right rows with NULL timestamps never match anything."""
+    from autoner_spark.timejoin import asof_join
+
+    left = spark.createDataFrame([("u1", 100, "L1")],
+                                 "k string, tus long, lid string")
+    right = spark.createDataFrame(
+        [("u1", 50, 50, "R-old"), ("u1", 90, 90, None)],
+        "k string, tus long, rts long, rid string",
+    )
+    row = asof_join(left, right, ["k"], "tus", ["rts", "rid"]).collect()[0]
+    # the matched row is (rts=90, rid=NULL) — not the frankenrow (90,'R-old')
+    assert (row.rts, row.rid) == (90, None)
+
+    right2 = spark.createDataFrame(
+        [("u1", None, None, "R-nullts")],
+        "k string, tus long, rts long, rid string",
+    )
+    row2 = asof_join(left, right2, ["k"], "tus", ["rts", "rid"]).collect()[0]
+    assert (row2.rts, row2.rid) == (None, None)
+
+
+def test_asof_join_tied_right_timestamps_deterministic(spark):
+    """Ties on the matched timestamp resolve to the greatest value tuple —
+    and the gate twin resolves identically (max id at the matched ts)."""
+    from autoner_spark.timejoin import asof_join
+
+    left = spark.createDataFrame([("u1", 100, "L1")],
+                                 "k string, tus long, lid string")
+    right = spark.createDataFrame(
+        [("u1", 90, 90, "RA"), ("u1", 90, 90, "RB")],
+        "k string, tus long, rts long, rid string",
+    )
+    out = {(r.rts, r.rid)
+           for r in asof_join(left, right, ["k"], "tus",
+                              ["rts", "rid"]).collect()}
+    assert out == {(90, "RB")}
