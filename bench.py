@@ -83,6 +83,9 @@ SF1_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "text_repetition",
+    "rel_events_asof",
+    "rel_events_range_join",
+    "rel_time_rollup",
 ]
 
 
