@@ -341,6 +341,12 @@ def simhash_hamming_pairs(
     if bits % n_blocks != 0:
         raise ValueError(f"bits ({bits}) must divide into n_blocks "
                          f"({n_blocks}) equal-width blocks")
+    if bits > 63:
+        raise ValueError(
+            f"bits ({bits}) exceeds 63: the signature lives in a signed "
+            f"int64, so wider signatures would wrap and break the "
+            f"pigeonhole recall guarantee"
+        )
     if max_hamming >= n_blocks:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < n_blocks ({n_blocks}) "
@@ -352,11 +358,14 @@ def simhash_hamming_pairs(
     # three consumers (block explosion + both verify join sides) — persist
     # so the token-hash/vote lineage runs once
     sig = persist_tracked(simhash(docs, bits, id_col, text_col))
+    # exact integer bit extraction (shift + mask): the former floor(x /
+    # pow(2, k)) went through double math, which silently loses bits for
+    # signatures wider than 53 bits
     block_structs = [
         F.struct(
             F.lit(b).alias("b"),
-            (F.floor(F.col("simhash") / F.pow(F.lit(2), F.lit(b * block_bits)))
-             .cast("long") % (2 ** block_bits)).alias("block"),
+            F.shiftright(F.col("simhash"), b * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1)).alias("block"),
         )
         for b in range(n_blocks)
     ]

@@ -1253,12 +1253,20 @@ def q_rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw table is scanned exactly once regardless of how many
     granularities are materialized, because count/sum are algebraic. The
     DuckDB twin computes every level directly from raw, so the gate equality
-    IS the proof that the partial re-aggregation composes correctly."""
+    IS the proof that the partial re-aggregation composes correctly.
+
+    Values are aggregated as SCALED INTEGERS (round-half-up to cents):
+    float addition is non-associative, so summing raw doubles hierarchically
+    (minute partials -> hour -> day) while the twin sums raw rows directly
+    could diverge at a round() boundary — integer sums make the composition
+    exact, not probabilistic. floor(x*100 + 0.5), not cast: DuckDB casts
+    round while Spark casts truncate (the documented portability trap)."""
     e = load(spark, sf_dir, "events")
     tus = F.unix_micros(F.col("ts").cast("timestamp"))
     minute = F.floor(tus / 60_000_000).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     m = e.groupBy(minute.alias("b"), "event_type").agg(
-        F.count("*").alias("n"), F.sum("value").alias("v")
+        F.count("*").alias("n"), F.sum(cents).alias("v")
     )
     h = m.groupBy(F.floor(F.col("b") / 60).cast("long").alias("b"),
                   "event_type").agg(
@@ -1274,7 +1282,7 @@ def q_rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("level"),
             (F.col("b") * secs).cast("long").alias("bucket_start_sec"),
             "event_type", F.col("n").cast("long").alias("n_events"),
-            F.round("v", 2).alias("total_value"),
+            F.round(F.col("v") / 100.0, 2).alias("total_value"),
         )
 
     return (
@@ -1286,32 +1294,35 @@ def q_rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REL_TIME_ROLLUP = """
 WITH base AS (
-    SELECT epoch_us(ts) AS tus, event_type, value FROM events
+    SELECT epoch_us(ts) AS tus, event_type,
+           cast(floor(value * 100 + 0.5) AS bigint) AS cents
+    FROM events
 ),
 m AS (
     SELECT cast(floor(tus / 60000000) AS bigint) AS b, event_type,
-           count(*) AS n, sum(value) AS v
+           count(*) AS n, sum(cents) AS v
     FROM base GROUP BY 1, 2
 ),
 h AS (
     SELECT cast(floor(tus / 3600000000) AS bigint) AS b, event_type,
-           count(*) AS n, sum(value) AS v
+           count(*) AS n, sum(cents) AS v
     FROM base GROUP BY 1, 2
 ),
 d AS (
     SELECT cast(floor(tus / 86400000000) AS bigint) AS b, event_type,
-           count(*) AS n, sum(value) AS v
+           count(*) AS n, sum(cents) AS v
     FROM base GROUP BY 1, 2
 )
 SELECT 'minute' AS level, cast(b * 60 AS bigint) AS bucket_start_sec,
-       event_type, cast(n AS bigint) AS n_events, round(v, 2) AS total_value
+       event_type, cast(n AS bigint) AS n_events,
+       round(v / 100.0, 2) AS total_value
 FROM m
 UNION ALL
 SELECT 'hour', cast(b * 3600 AS bigint), event_type, cast(n AS bigint),
-       round(v, 2) FROM h
+       round(v / 100.0, 2) FROM h
 UNION ALL
 SELECT 'day', cast(b * 86400 AS bigint), event_type, cast(n AS bigint),
-       round(v, 2) FROM d
+       round(v / 100.0, 2) FROM d
 """
 
 
@@ -1322,8 +1333,13 @@ def q_rel_lpc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine-specific registers, not gateable), the occupied-position count
     is plain relational math — and it is scale-safe: the aggregation state
     is bounded by m per group (map-side combinable), never by the number
-    of distinct users. Exact count kept alongside to expose the error."""
-    e = load(spark, sf_dir, "events")
+    of distinct users. Exact count kept alongside to expose the error.
+
+    NULL user_ids are filtered identically on BOTH engines before hashing:
+    Spark concat(NULL) -> NULL md5 (silently ignored by countDistinct) while
+    DuckDB concat('lpc:', NULL) keeps the prefix and would occupy a bitmap
+    position — the documented cross-engine NULL-concat trap."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     m = 4096
     idx = (
         F.conv(F.substring(F.md5(F.concat(F.lit("lpc:"),
@@ -1354,6 +1370,7 @@ WITH h AS (
            cast(('0x' || substring(md5(concat('lpc:',
                 cast(user_id AS varchar))), 1, 8)) AS bigint) % 4096 AS idx
     FROM events
+    WHERE user_id IS NOT NULL
 ),
 agg AS (
     SELECT event_type, count(DISTINCT idx) AS occupied,
@@ -2367,8 +2384,13 @@ def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive for training-set composition. Content-stable (hash of
     doc_id, not rand()): re-runs, resharding and different partitionings
     all select the same rows, and the sample composes with the split
-    assignment. Map-only: no shuffle, no sampling state."""
-    d = load(spark, sf_dir, "documents")
+    assignment. Map-only: no shuffle, no sampling state.
+
+    doc_id is a key (never NULL), but the NOT NULL guard is kept explicit
+    on both engines anyway: the md5(concat(...)) pattern diverges on NULL
+    keys (Spark drops, DuckDB keeps the prefix), so every query using it
+    carries the guard rather than relying on schema knowledge."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     h = (
         F.conv(F.substring(F.md5(F.concat(F.lit("strat:"),
                                           F.col("doc_id").cast("string"))),
@@ -2393,6 +2415,7 @@ FROM (
            CASE WHEN source = 'web' THEN 25
                 WHEN source = 'books' THEN 75 ELSE 50 END AS rate
     FROM documents
+    WHERE doc_id IS NOT NULL
 )
 WHERE h < rate
 """
@@ -2539,57 +2562,15 @@ FROM m WHERE modality = 'video'
 # registry
 # ---------------------------------------------------------------------------
 
+# ROTATION CONTRACT (VERDICT r3 #1): the driver's correctness gate records
+# only the FIRST 50 registry entries per round, so ordering is a coverage
+# decision, not cosmetics. Entries are ordered by how recently the driver
+# last recorded them: (1) new-this-round queries, (2) queries with no driver
+# row in any round, (3) queries last recorded in r02/r03 only, (4) queries
+# green in r01+r02+r03 (the safest to fall outside the window). Rotate every
+# round so no query goes more than ~2 rounds without a driver row.
 QUERIES = {
-    "kg_transcripts": q_kg_transcripts,
-    "kg_dict_core": q_kg_dict_core,
-    "kg_mentions_exact": q_kg_mentions_exact,
-    "kg_entity_link": q_kg_entity_link,
-    "kg_canonicalize_cc": q_kg_canonicalize_cc,
-    "kg_triples_exact": q_kg_triples_exact,
-    "kg_eval_pr": q_kg_eval_pr,
-    "kg_eval_chunking": q_kg_eval_chunking,
-    "kg_eval_typing": q_kg_eval_typing,
-    "kg_cooccurrence": q_kg_cooccurrence,
-    "kg_conversation_entities": q_kg_conversation_entities,
-    "kg_vocab_semijoin": q_kg_vocab_semijoin,
-    "kg_turn_text_equality": q_kg_turn_text_equality,
-    "kg_tag_mentions_dp": q_kg_tag_mentions_dp,
-    "kg_tag_mentions_raw": q_kg_tag_mentions_raw,
-    "kg_triples_dp": q_kg_triples_dp,
-    "kg_mentions_markup": q_kg_mentions_markup,
-    "kg_labels_dp": q_kg_labels_dp,
-    "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_top_customers_window": q_rel_top_customers_window,
-    "rel_order_revenue_join": q_rel_order_revenue_join,
-    "rel_rollup_orders": q_rel_rollup_orders,
-    "rel_setop_customers": q_rel_setop_customers,
-    "rel_events_json_hourly": q_rel_events_json_hourly,
-    "rel_part_type_revenue": q_rel_part_type_revenue,
-    "rel_orders_exists": q_rel_orders_exists,
-    "rel_customers_no_orders": q_rel_customers_no_orders,
-    "rel_small_qty_revenue": q_rel_small_qty_revenue,
-    "rel_pivot_status": q_rel_pivot_status,
-    "rel_acctbal_quantiles": q_rel_acctbal_quantiles,
-    "rel_event_sessions": q_rel_event_sessions,
-    "rel_events_asof": q_rel_events_asof,
-    "rel_events_range_join": q_rel_events_range_join,
-    "rel_time_rollup": q_rel_time_rollup,
-    "rel_lpc_distinct": q_rel_lpc_distinct,
-    "dedup_exact": q_dedup_exact,
-    "dedup_apply_ngram": q_dedup_apply_ngram,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_verified": q_dedup_minhash_verified,
-    "dedup_jaccard_drop_stats": q_dedup_jaccard_drop_stats,
-    "dedup_lsh_drop_stats": q_dedup_lsh_drop_stats,
-    "dedup_embedding_drop_stats": q_dedup_embedding_drop_stats,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "dedup_decontaminate": q_dedup_decontaminate,
-    "text_winnow_fp": q_text_winnow_fp,
-    "text_token_count_bpe": q_text_token_count_bpe,
+    # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_topk_nprobe": q_sim_ivf_topk_nprobe,
@@ -2604,6 +2585,58 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "mm_manifest_meta": q_mm_manifest_meta,
     "mm_frame_sample": q_mm_frame_sample,
+    # --- (3) driver rows in r02/r03 only ---
+    "dedup_apply_ngram": q_dedup_apply_ngram,
+    "dedup_decontaminate": q_dedup_decontaminate,
+    "dedup_embedding_drop_stats": q_dedup_embedding_drop_stats,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_jaccard_drop_stats": q_dedup_jaccard_drop_stats,
+    "dedup_lsh_drop_stats": q_dedup_lsh_drop_stats,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "kg_eval_chunking": q_kg_eval_chunking,
+    "kg_eval_typing": q_kg_eval_typing,
+    "kg_tag_mentions_raw": q_kg_tag_mentions_raw,
+    "rel_acctbal_quantiles": q_rel_acctbal_quantiles,
+    "rel_customers_no_orders": q_rel_customers_no_orders,
+    "rel_event_sessions": q_rel_event_sessions,
+    "rel_events_asof": q_rel_events_asof,
+    "rel_events_range_join": q_rel_events_range_join,
+    "rel_lpc_distinct": q_rel_lpc_distinct,
+    "rel_orders_exists": q_rel_orders_exists,
+    "rel_pivot_status": q_rel_pivot_status,
+    "rel_small_qty_revenue": q_rel_small_qty_revenue,
+    "rel_time_rollup": q_rel_time_rollup,
+    # --- (4) green in r01+r02+r03 (fall out of the window first) ---
+    "kg_transcripts": q_kg_transcripts,
+    "kg_dict_core": q_kg_dict_core,
+    "kg_mentions_exact": q_kg_mentions_exact,
+    "kg_entity_link": q_kg_entity_link,
+    "kg_canonicalize_cc": q_kg_canonicalize_cc,
+    "kg_triples_exact": q_kg_triples_exact,
+    "kg_eval_pr": q_kg_eval_pr,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_conversation_entities": q_kg_conversation_entities,
+    "kg_vocab_semijoin": q_kg_vocab_semijoin,
+    "kg_turn_text_equality": q_kg_turn_text_equality,
+    "kg_tag_mentions_dp": q_kg_tag_mentions_dp,
+    "kg_triples_dp": q_kg_triples_dp,
+    "kg_mentions_markup": q_kg_mentions_markup,
+    "kg_labels_dp": q_kg_labels_dp,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers_window": q_rel_top_customers_window,
+    "rel_order_revenue_join": q_rel_order_revenue_join,
+    "rel_rollup_orders": q_rel_rollup_orders,
+    "rel_setop_customers": q_rel_setop_customers,
+    "rel_events_json_hourly": q_rel_events_json_hourly,
+    "rel_part_type_revenue": q_rel_part_type_revenue,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "text_winnow_fp": q_text_winnow_fp,
+    "text_token_count_bpe": q_text_token_count_bpe,
 }
 
 ORACLE_SQL = {

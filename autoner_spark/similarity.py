@@ -148,6 +148,62 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
     )
 
 
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    k: int = 32,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer: the md5-seeded hash sample
+    (``ivf_centroids``) run through ``iters`` deterministic k-means
+    iterations — broadcast argmax assignment, then per-cluster element-wise
+    mean. Closes the recall gap of the raw hash sample on clustered
+    embedding distributions (pinned by pytest) while keeping the DuckDB
+    twin exactly reproducible.
+
+    Determinism across engines: the mean is computed over SCALED-INTEGER
+    components (floor(x*1e6 + 0.5), micro-units) so the per-cluster sum is
+    exact integer math — a raw double sum's low bits depend on aggregation
+    order and could flip an argmax between engines. The mean itself is one
+    long/long division per (cluster, dim): identical doubles everywhere.
+    Assignment is cosine-argmax (ties -> smaller centroid_id), reusing
+    ``ivf_assign``; since cosine is scale-invariant the un-normalized mean
+    assigns identically to the spherical-k-means normalized one.
+
+    Scale: per iteration, one broadcast join over the corpus (assignment)
+    + one map-side-combined groupBy of N*dim scaled components; centroid
+    relation stays k rows end-to-end. Empty clusters drop out (k can only
+    shrink), as in any Lloyd run without re-seeding."""
+    cents = ivf_centroids(embeddings, k, id_col, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    for _ in range(iters):
+        assign = ivf_assign(base, cents, 1, "vec_id", "embedding")
+        comp = (
+            base.join(assign, "vec_id")
+            .select("centroid_id", F.posexplode("embedding").alias("d", "x"))
+            .withColumn(
+                "xs",
+                F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5))
+                .cast("long"),
+            )
+        )
+        means = comp.groupBy("centroid_id", "d").agg(
+            (F.sum("xs") / F.count("*") / F.lit(1e6)).alias("m")
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform("dm", lambda s: s["m"]).alias("cvec"),
+            )
+        )
+    return cents
+
+
 def hyperplane_bits(
     embeddings: DataFrame,
     n_hyperplanes: int = 64,
@@ -240,6 +296,7 @@ def lsh_band_buckets_arrow(
     base: DataFrame,
     bits_per_band: int = 16,
     n_bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, band, bucket): the mapInArrow/NumPy twin of
     ``lsh_band_buckets`` — one BLAS matmul per Arrow batch instead of the
@@ -254,16 +311,24 @@ def lsh_band_buckets_arrow(
     engines without Arrow. Requires fixed-dimension vectors (guarded).
     NULL vectors are dropped before the map stage — the same rows the join
     form's posexplode silently skips — and the id column passes through
-    with its original type (numeric or string ids alike)."""
+    with its original type (numeric or string ids alike).
+
+    ``dim``: pass the embedding width explicitly when known; when None it
+    is inferred LAZILY from the first vector each task sees (every later
+    row is validated against it), so building the plan never triggers an
+    eager Spark job — plan dumps, drop-stats composition and repeated
+    query construction stay free. Lazy inference relies on the documented
+    fixed-dimension contract: raggedness is caught whenever two widths
+    meet inside one task, but a corpus partitioned so that every task is
+    internally consistent (different widths in different files) is only
+    caught when ``dim`` is passed explicitly — pass it on mixed-source
+    corpora."""
     import pyarrow as pa
 
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     clean = base.filter(F.col("embedding").isNotNull())
-    first_vec = clean.select("embedding").first()
-    dim = 1 if first_vec is None else len(first_vec[0])
     n_hyp = bits_per_band * n_bands
-    w_t = _hyperplane_matrix(n_hyp, dim).T  # (dim, n_hyp)
 
     out_schema = StructType([
         StructField("vec_id", base.schema["vec_id"].dataType),
@@ -276,24 +341,29 @@ def lsh_band_buckets_arrow(
 
         pows = 2 ** np.arange(bits_per_band, dtype=np.int64)
         bands = np.arange(n_bands, dtype=np.int32)
+        d = dim
+        w_t = None if d is None else _hyperplane_matrix(n_hyp, d).T
         for b in batches:
             n = b.num_rows
             if n == 0:
                 continue
+            emb = b.column(1)
+            offs = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+            if d is None:
+                d = int(offs[0])
+                w_t = _hyperplane_matrix(n_hyp, d).T  # (dim, n_hyp)
+            if not (offs == d).all():
+                raise ValueError(
+                    "lsh_band_buckets_arrow requires fixed-dimension "
+                    f"vectors (expected dim={d})"
+                )
             # keep ids as an Arrow array: original type survives (a numpy
             # round-trip would mangle strings / overflow-check longs)
             id_rep = b.column(0).take(
                 pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
             )
-            emb = b.column(1)
-            offs = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
-            if not (offs == dim).all():
-                raise ValueError(
-                    "lsh_band_buckets_arrow requires fixed-dimension "
-                    f"vectors (expected dim={dim})"
-                )
             flat = emb.values.to_numpy(zero_copy_only=False)
-            x = np.asarray(flat, dtype=np.float64).reshape(n, dim)
+            x = np.asarray(flat, dtype=np.float64).reshape(n, d)
             # same convention as the join form: sign on the 6dp-rounded dot
             bits = (np.round(x @ w_t, 6) > 0).astype(np.int64)
             buckets = bits.reshape(n, n_bands, bits_per_band) @ pows
@@ -398,6 +468,7 @@ def ivf_topk(
     n_centroids: int = 32,
     max_query_id: int = 10,
     nprobe: int = 1,
+    kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -410,8 +481,16 @@ def ivf_topk(
     boundary case falls into, at nprobe× the candidate cost — still
     O(N·k/n_centroids·nprobe) total, never a cross product. A query in one
     probed cluster meets each candidate once (candidates live in exactly
-    one cluster), so no dedup pass is needed."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    one cluster), so no dedup pass is needed.
+
+    ``kmeans_iters > 0`` refines the hash-sample coarse quantizer with that
+    many deterministic Lloyd iterations (``ivf_centroids_kmeans``) before
+    assignment — better-balanced clusters, higher recall at equal nprobe."""
+    if kmeans_iters > 0:
+        cents = ivf_centroids_kmeans(embeddings, n_centroids, kmeans_iters,
+                                     id_col, vec_col)
+    else:
+        cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     assign = ivf_assign(embeddings, cents, 1, id_col, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")

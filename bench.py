@@ -100,6 +100,19 @@ def materialize_sf1(spark, sf_dir: str, factor: int = SF1_FACTOR) -> str:
         stride = 10_000_000
         for table, keys in SF1_KEYS.items():
             src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+            # guard the "far above any real key" claim: if a larger base sf
+            # ever pushes keys past the stride, replicated copies would
+            # silently collide and the corpus would under-count
+            maxes = src.agg(
+                *[F.max(F.col(k)).alias(k) for k in keys]
+            ).first()
+            for key in keys:
+                if maxes[key] is not None and maxes[key] >= stride:
+                    raise ValueError(
+                        f"sf1 replication stride {stride} <= max({table}."
+                        f"{key}) = {maxes[key]}: key-shifted copies would "
+                        f"collide; raise the stride"
+                    )
             df = None
             for k in range(factor):
                 c = src

@@ -464,13 +464,29 @@ def test_lsh_arrow_signatures_match_relational(spark, emb):
     assert pj == pa_
     assert {(a_, b_) for a_, b_, _ in pj} >= {(i, i + 50000) for i in range(10)}
 
-    # ragged vectors are rejected, not silently mis-shaped
+    # ragged vectors are rejected, not silently mis-shaped: with lazy dim
+    # inference the mismatch is caught when two widths meet inside one task
+    # (coalesce forces that here), and an explicit dim catches raggedness
+    # regardless of partitioning
     ragged = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
         "vec_id long, embedding array<double>",
     )
     with pytest.raises(Exception, match="fixed-dimension"):
-        lsh_band_buckets_arrow(ragged, 4, 2).collect()
+        lsh_band_buckets_arrow(ragged.coalesce(1), 4, 2).collect()
+    with pytest.raises(Exception, match="fixed-dimension"):
+        lsh_band_buckets_arrow(ragged.repartition(2), 4, 2, dim=2).collect()
+
+    # plan construction must NOT trigger an eager Spark job (ADVICE r3):
+    # building the stage over a view that explodes on read only fails when
+    # the plan is actually executed
+    def _boom(v):
+        raise RuntimeError("executed: construction should not run jobs")
+
+    exploding = base.filter(F.udf(_boom, "boolean")(F.col("vec_id")))
+    lsh_band_buckets_arrow(exploding, 4, 2)  # construction: no job, no raise
+    with pytest.raises(Exception):
+        lsh_band_buckets_arrow(exploding, 4, 2).collect()
 
     with pytest.raises(ValueError, match="signature"):
         embedding_lsh_pairs(base, signature="bogus")
