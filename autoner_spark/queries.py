@@ -2205,6 +2205,162 @@ FROM (
 """
 
 
+def q_sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration over the md5-seeded hash-sample
+    init, output as EXACT INTEGERS: per (centroid, dim) the scaled-component
+    sum (micro-units) and member count, i.e. the mean as an un-divided
+    ratio. Gating the ratio instead of round(sum/count/1e6, 6) is
+    deliberate: integer sums over even counts land the mean EXACTLY on the
+    0.5e-6 rounding boundary systematically, where Spark's BigDecimal
+    HALF_UP and DuckDB's double rounding disagree — the exact pair pins the
+    Lloyd step with zero FP at all. Runs the same code path
+    (similarity.kmeans_component_sums) ivf_centroids_kmeans consumes."""
+    from .similarity import ivf_centroids, kmeans_component_sums
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    return kmeans_component_sums(base, ivf_centroids(emb, 32))
+
+
+SQL_SIM_KMEANS_CENTROIDS = """
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+    ORDER BY cast(('0x' || substring(md5(cast(vec_id AS varchar)), 1, 8)) AS bigint),
+             vec_id
+    LIMIT 32
+),
+apairs AS (
+    SELECT e.vec_id, c.centroid_id,
+           cast(unnest(e.embedding) AS double) AS a,
+           cast(unnest(c.cvec) AS double) AS b
+    FROM embeddings e, cents c
+),
+ascored AS (
+    SELECT vec_id, centroid_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+    FROM apairs GROUP BY vec_id, centroid_id
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id) AS rnk
+        FROM ascored
+    ) WHERE rnk = 1
+),
+-- scaled-integer components (micro-units): exact integer sums, so the
+-- Lloyd state is aggregation-order-independent on both engines; the gate
+-- compares the un-divided (sum, count) ratio — zero FP
+comp AS (
+    SELECT a.centroid_id,
+           cast(unnest(range(0, len(e.embedding))) AS integer) AS d,
+           cast(floor(cast(unnest(e.embedding) AS double) * 1000000 + 0.5)
+                AS bigint) AS xs
+    FROM embeddings e JOIN assign a USING (vec_id)
+)
+SELECT centroid_id, d, cast(sum(xs) AS bigint) AS sum_micro,
+       cast(count(*) AS bigint) AS n
+FROM comp GROUP BY centroid_id, d
+"""
+
+
+def q_sim_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k=3, nprobe=2) over the k-means-refined coarse quantizer
+    (1 Lloyd iteration) — the production IVF shape: refined centroids give
+    better-balanced clusters and strictly better recall than the raw hash
+    sample at equal nprobe (pinned by pytest)."""
+    from .similarity import ivf_topk
+
+    return ivf_topk(load_parallel(spark, sf_dir, "embeddings"), k=3,
+                    n_centroids=32, max_query_id=10, nprobe=2,
+                    kmeans_iters=1)
+
+
+SQL_SIM_IVF_TOPK_KMEANS = """
+WITH cents0 AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+    ORDER BY cast(('0x' || substring(md5(cast(vec_id AS varchar)), 1, 8)) AS bigint),
+             vec_id
+    LIMIT 32
+),
+ap0 AS (
+    SELECT e.vec_id, c.centroid_id,
+           cast(unnest(e.embedding) AS double) AS a,
+           cast(unnest(c.cvec) AS double) AS b
+    FROM embeddings e, cents0 c
+),
+as0 AS (
+    SELECT vec_id, centroid_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+    FROM ap0 GROUP BY vec_id, centroid_id
+),
+assign0 AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id) AS rnk
+        FROM as0
+    ) WHERE rnk = 1
+),
+comp AS (
+    SELECT a.centroid_id,
+           cast(unnest(range(0, len(e.embedding))) AS integer) AS d,
+           cast(floor(cast(unnest(e.embedding) AS double) * 1000000 + 0.5)
+                AS bigint) AS xs
+    FROM embeddings e JOIN assign0 a USING (vec_id)
+),
+means AS (
+    SELECT centroid_id, d, sum(xs) / count(*) / 1000000.0 AS m
+    FROM comp GROUP BY centroid_id, d
+),
+ex AS (
+    SELECT vec_id, cast(unnest(range(0, len(embedding))) AS integer) AS d,
+           cast(unnest(embedding) AS double) AS x
+    FROM embeddings
+),
+as1 AS (
+    SELECT e.vec_id, m.centroid_id,
+           sum(e.x * m.m) / (sqrt(sum(e.x * e.x)) * sqrt(sum(m.m * m.m))) AS cos
+    FROM ex e JOIN means m USING (d)
+    GROUP BY e.vec_id, m.centroid_id
+),
+ranked AS (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, centroid_id) AS rnk
+    FROM as1
+),
+assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rnk = 1),
+probes AS (SELECT vec_id, centroid_id FROM ranked WHERE rnk <= 2
+           AND vec_id < 10),
+cand AS (
+    SELECT e.vec_id, e.embedding, a.centroid_id
+    FROM embeddings e JOIN assign a USING (vec_id)
+),
+qpairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           cast(unnest(q.embedding) AS double) AS a,
+           cast(unnest(c.embedding) AS double) AS b
+    FROM embeddings q
+    JOIN probes p ON p.vec_id = q.vec_id
+    JOIN cand c ON c.centroid_id = p.centroid_id
+    WHERE q.vec_id <> c.vec_id
+),
+qscored AS (
+    SELECT query_id, vec_id,
+           sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cosine
+    FROM qpairs GROUP BY query_id, vec_id
+)
+SELECT query_id, cast(rnk AS integer) AS rnk, vec_id, round(cosine, 6) AS cosine
+FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rnk
+    FROM qscored
+) WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -2570,6 +2726,9 @@ FROM m WHERE modality = 'video'
 # green in r01+r02+r03 (the safest to fall outside the window). Rotate every
 # round so no query goes more than ~2 rounds without a driver row.
 QUERIES = {
+    # --- (1) new this round (r04) ---
+    "sim_kmeans_centroids": q_sim_kmeans_centroids,
+    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -2640,6 +2799,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sim_kmeans_centroids": SQL_SIM_KMEANS_CENTROIDS,
+    "sim_ivf_topk_kmeans": SQL_SIM_IVF_TOPK_KMEANS,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

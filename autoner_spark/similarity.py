@@ -180,18 +180,10 @@ def ivf_centroids_kmeans(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
     for _ in range(iters):
-        assign = ivf_assign(base, cents, 1, "vec_id", "embedding")
-        comp = (
-            base.join(assign, "vec_id")
-            .select("centroid_id", F.posexplode("embedding").alias("d", "x"))
-            .withColumn(
-                "xs",
-                F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5))
-                .cast("long"),
-            )
-        )
-        means = comp.groupBy("centroid_id", "d").agg(
-            (F.sum("xs") / F.count("*") / F.lit(1e6)).alias("m")
+        sums = kmeans_component_sums(base, cents)
+        means = sums.select(
+            "centroid_id", "d",
+            (F.col("sum_micro") / F.col("n") / F.lit(1e6)).alias("m"),
         )
         cents = (
             means.groupBy("centroid_id")
@@ -202,6 +194,27 @@ def ivf_centroids_kmeans(
             )
         )
     return cents
+
+
+def kmeans_component_sums(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(centroid_id, d, sum_micro, n): one Lloyd iteration's exact state —
+    per (cluster, dim), the sum of micro-unit-scaled components and the
+    member count; the cluster mean is the un-divided ratio sum_micro/n/1e6.
+    Shared by ``ivf_centroids_kmeans`` and the correctness gate (which pins
+    this exact integer state against DuckDB)."""
+    assign = ivf_assign(base, centroids, 1, "vec_id", "embedding")
+    comp = (
+        base.join(assign, "vec_id")
+        .select("centroid_id", F.posexplode("embedding").alias("d", "x"))
+        .withColumn(
+            "xs",
+            F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5))
+            .cast("long"),
+        )
+    )
+    return comp.groupBy("centroid_id", "d").agg(
+        F.sum("xs").alias("sum_micro"), F.count("*").cast("long").alias("n")
+    )
 
 
 def hyperplane_bits(

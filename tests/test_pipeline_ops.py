@@ -492,6 +492,60 @@ def test_lsh_arrow_signatures_match_relational(spark, emb):
         embedding_lsh_pairs(base, signature="bogus")
 
 
+def test_ivf_kmeans_centroids_improve_recall(spark, emb):
+    """One deterministic Lloyd iteration strictly improves recall@5 over
+    the raw hash-sample centroids at EQUAL n_centroids and nprobe on the
+    isotropic fixture — the refinement must earn its extra pass. Ground
+    truth is the exact brute-force top-5."""
+    from autoner_spark.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        queries_from_ids,
+    )
+
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries_from_ids(emb, 10), k=5).collect()
+    }
+
+    def recall(kmeans_iters):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, k=5, n_centroids=32, max_query_id=10,
+                              nprobe=2, kmeans_iters=kmeans_iters).collect()
+        }
+        return len(got & truth)
+
+    assert recall(1) > recall(0)
+
+
+def test_kmeans_centroids_deterministic_and_lloyd_consistent(spark, emb):
+    """The refined centroids are a pure function of the input (partition-
+    invariant), and each centroid equals the mean of the vectors its
+    PREVIOUS centroid set assigned to it (the Lloyd fixpoint step), via
+    the shared exact-integer state."""
+    from autoner_spark.similarity import (
+        ivf_centroids,
+        ivf_centroids_kmeans,
+        kmeans_component_sums,
+    )
+
+    a = {r.centroid_id: list(r.cvec)
+         for r in ivf_centroids_kmeans(emb, k=8, iters=1).collect()}
+    b = {r.centroid_id: list(r.cvec)
+         for r in ivf_centroids_kmeans(emb.repartition(13), k=8,
+                                       iters=1).collect()}
+    assert a == b and len(a) >= 1
+
+    base = emb.select("vec_id", "embedding")
+    sums = kmeans_component_sums(base, ivf_centroids(emb, 8)).collect()
+    expect = {}
+    for r in sums:
+        expect.setdefault(r.centroid_id, {})[r.d] = r.sum_micro / r.n / 1e6
+    for cid, vec in a.items():
+        assert vec == [expect[cid][d] for d in range(len(vec))]
+
+
 def test_repetition_stats_flags_boilerplate(spark):
     from autoner_spark.textstats import repetition_stats
 
