@@ -324,6 +324,7 @@ def simhash_hamming_pairs(
     max_bucket_size: int | None = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+    signature: str = "arrow",
 ) -> DataFrame:
     """(id_a, id_b, hamming): near-duplicate pairs whose SimHash signatures
     differ in at most ``max_hamming`` bits — the Manku/Jain/Sarma WWW'07
@@ -355,9 +356,18 @@ def simhash_hamming_pairs(
     from .caching import persist_tracked
 
     block_bits = bits // n_blocks
+    # signature="arrow": one zero-shuffle map stage (default; same pattern
+    # as embedding_lsh_pairs); "join": the relational vote pipeline
+    # (bit-identical, the DuckDB-twin reference path — pinned by pytest)
+    if signature == "arrow":
+        sig_df = simhash_arrow(docs, bits, id_col, text_col)
+    elif signature == "join":
+        sig_df = simhash(docs, bits, id_col, text_col)
+    else:
+        raise ValueError(f"unknown signature impl: {signature!r}")
     # three consumers (block explosion + both verify join sides) — persist
-    # so the token-hash/vote lineage runs once
-    sig = persist_tracked(simhash(docs, bits, id_col, text_col))
+    # so the signature lineage runs once
+    sig = persist_tracked(sig_df)
     # exact integer bit extraction (shift + mask): the former floor(x /
     # pow(2, k)) went through double math, which silently loses bits for
     # signatures wider than 53 bits
@@ -486,13 +496,89 @@ def decontaminate(
     )
 
 
+def simhash_arrow(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, simhash): the mapInArrow/NumPy twin of ``simhash`` — one map
+    stage, zero shuffles, bit-identical output (pinned by pytest).
+
+    Why it exists: the relational form explodes ``bits`` vote rows PER
+    TOKEN OCCURRENCE before its first groupBy — a 32x constant factor on
+    the token stream (linear and map-side combined, but pure overhead).
+    Here each batch tokenizes in-process, memoizes the per-token md5
+    (vocabulary is tiny relative to occurrences), accumulates the +-1 bit
+    votes as one NumPy reduction per document and emits one row — the same
+    pattern as ``similarity.lsh_band_buckets_arrow``. The relational form
+    remains the DuckDB-twin reference path.
+
+    Semantics replicated exactly: Spark's split-on-space (trailing/empty
+    fragments kept, so ``"a  b"`` yields an empty middle token), md5-hex
+    32-bit token hash, bit set iff its vote sum is STRICTLY positive, and
+    NULL texts dropped (the relational explode skips them)."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if bits > 63:
+        raise ValueError(f"bits ({bits}) exceeds 63: signed-int64 signature")
+    out_schema = StructType([
+        StructField("id", docs.schema[id_col].dataType),
+        StructField("simhash", LongType()),
+    ])
+
+    def compute(batches):
+        import hashlib
+
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.int64)
+        bit_w = np.int64(1) << shifts
+        memo: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            h = memo.get(tok)
+            if h is None:
+                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                memo[tok] = h
+            return h
+
+        for b in batches:
+            texts = b.column(1)
+            keep, sigs = [], []
+            for i in range(b.num_rows):
+                t = texts[i].as_py()
+                if t is None:
+                    continue
+                hv = np.fromiter(
+                    (th(tok) for tok in t.split(" ")), dtype=np.int64
+                )
+                votes = (
+                    (((hv[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+                )
+                keep.append(i)
+                sigs.append(int(bit_w[votes > 0].sum()))
+            if not keep:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).take(pa.array(keep, type=pa.int64())),
+                    pa.array(sigs, type=pa.int64()),
+                ],
+                names=["id", "simhash"],
+            )
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInArrow(compute, out_schema)
+
+
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(id, simhash): 32-bit SimHash over tokens, computed relationally.
 
     Each token's 32-bit hash votes +1/-1 per bit position; the sign of each
     bit's vote sum sets that bit. Pure integer math -> bit-identical across
-    engines."""
+    engines. ``simhash_arrow`` is the zero-shuffle map-stage twin (default
+    in the pair generator); this form is the DuckDB-twin reference path."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("token")
     ).withColumn("hv", md5_int32(F.col("token")))

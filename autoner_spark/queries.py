@@ -1687,9 +1687,12 @@ FROM dropped
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import simhash
+    """SimHash signatures via the zero-shuffle Arrow map stage (default
+    production path); the DuckDB twin runs the relational vote pipeline —
+    so the gate ALSO pins arrow == relational, on top of the pytest pin."""
+    from .dedup import simhash_arrow
 
-    return simhash(load_parallel(spark, sf_dir, "documents"))
+    return simhash_arrow(load_parallel(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_SIMHASH = """

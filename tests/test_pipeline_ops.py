@@ -492,6 +492,37 @@ def test_lsh_arrow_signatures_match_relational(spark, emb):
         embedding_lsh_pairs(base, signature="bogus")
 
 
+def test_simhash_arrow_matches_relational(spark, docs):
+    """The Arrow map-stage SimHash must be bit-identical to the relational
+    vote pipeline — on the corpus fixture AND on the tokenizer edge cases
+    (multi-space, trailing space, empty string, NULL text: NULL rows are
+    dropped by both forms)."""
+    from autoner_spark.dedup import simhash, simhash_arrow, simhash_hamming_pairs
+
+    a = {tuple(r) for r in simhash(docs).collect()}
+    b = {tuple(r) for r in simhash_arrow(docs).collect()}
+    assert a == b and len(a) == docs.count()
+
+    edge = spark.createDataFrame(
+        [(0, "a  b"), (1, "a b "), (2, ""), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    ea = {tuple(r) for r in simhash(edge).collect()}
+    eb = {tuple(r) for r in simhash_arrow(edge).collect()}
+    assert ea == eb and {i for i, _ in ea} == {0, 1, 2, 4}
+
+    # end-to-end pairs agree between signature impls
+    pj = {tuple(r) for r in simhash_hamming_pairs(docs, signature="join").collect()}
+    pa_ = {tuple(r) for r in simhash_hamming_pairs(docs, signature="arrow").collect()}
+    assert pj == pa_ and pj
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="signature"):
+        simhash_hamming_pairs(docs, signature="bogus")
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        simhash_arrow(docs, bits=64)
+
+
 def test_ivf_kmeans_centroids_improve_recall(spark, emb):
     """One deterministic Lloyd iteration strictly improves recall@5 over
     the raw hash-sample centroids at EQUAL n_centroids and nprobe on the
