@@ -44,7 +44,17 @@ def asof_join(
     semantics: the <= comparison is unknowable). All value columns are
     carried as ONE struct so the matched values always come from a single
     right row — carrying them independently would stitch columns from
-    different rows whenever a matched row holds a NULL value."""
+    different rows whenever a matched row holds a NULL value.
+
+    HOT-KEY BOUND: each key's union (left + right rows) sorts inside ONE
+    window partition — inherent to as-of semantics, which need a single
+    time-ordered pass per key. With user/session-grained keys this is the
+    right plan at any corpus size (WindowExec sorts spill to disk, so a
+    large key is slow-but-correct, pinned by pytest); a single global hot
+    key holding ~the whole table serializes that table through one task.
+    If the keys are that coarse, pre-split them by a time-range column
+    (e.g. day) and as-of join within ranges, seeding each range with the
+    previous range's last right row."""
     lstruct = StructType([left.schema[c] for c in left.columns])
     rstruct_t = StructType([right.schema[v] for v in value_cols])
     lu = left.select(
@@ -85,6 +95,7 @@ def range_join(
     right_ts: str,
     lo: int,
     hi: int,
+    salt: int | None = None,
 ) -> DataFrame:
     """All (left x right) rows with right_ts - left_ts in [lo, hi] per
     ``keys`` (integer time units; lo <= hi). Column names of the two sides
@@ -93,7 +104,17 @@ def range_join(
     Bucket width = hi - lo: right lands in floor(right_ts / W); a left
     row's window [left_ts+lo, left_ts+hi] overlaps at most 2 consecutive
     buckets, enumerated with ``sequence`` and exploded — turning the range
-    predicate into an equi-join + residual filter."""
+    predicate into an equi-join + residual filter.
+
+    HOT-KEY GUARD: one (key, bucket) pair whose two sides both carry many
+    rows hashes to a single join partition (and its output is inherently
+    quadratic in that group). ``salt`` enables the standard two-phase
+    mitigation: right rows scatter across ``salt`` deterministic
+    sub-partitions (hash of right_ts) and each left row replicates to all
+    of them, so the hot group's build side splits ``salt`` ways at the
+    cost of a salt-times left fan-out. Output is exactly the unsalted
+    result (each pair meets in exactly one sub-partition; pinned by
+    pytest). Leave ``None`` unless keys are coarse enough to skew."""
     if lo > hi:
         raise ValueError(f"empty range: lo ({lo}) > hi ({hi})")
     width = max(hi - lo, 1)
@@ -109,6 +130,16 @@ def range_join(
             )
         ),
     )
-    joined = l_.join(r, [*keys, "_bkt"])
+    join_keys = [*keys, "_bkt"]
+    if salt is not None:
+        if salt < 2:
+            raise ValueError(f"salt ({salt}) must be >= 2 to split anything")
+        r = r.withColumn("_salt", F.pmod(F.hash(F.col(right_ts)), salt))
+        l_ = l_.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        join_keys.append("_salt")
+    joined = l_.join(r, join_keys)
     delta = F.col(right_ts) - F.col(left_ts)
-    return joined.filter((delta >= lo) & (delta <= hi)).drop("_bkt")
+    out = joined.filter((delta >= lo) & (delta <= hi)).drop("_bkt")
+    return out.drop("_salt") if salt is not None else out

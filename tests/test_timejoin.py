@@ -91,6 +91,56 @@ def test_asof_join_null_values_and_null_timestamps(spark):
     assert (row2.rts, row2.rid) == (None, None)
 
 
+def test_time_joins_hot_key(spark):
+    """One pathologically hot key (every row shares it): both joins stay
+    CORRECT — the hot key serializes through one sorted window / join
+    partition (slow-but-right, the documented bound), never drops or
+    duplicates pairs. The salted range join must return exactly the
+    unsalted result while actually splitting the hot group across salt
+    sub-partitions."""
+    from autoner_spark.timejoin import asof_join, range_join
+
+    n = 5_000
+    left = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        (F.col("id") * 7 % 9973).alias("lts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        (F.col("id") * 13 % 9973).alias("rts"),
+        (F.col("id") + 1_000_000).alias("rid"),
+    )
+
+    # asof: spot-check against a driver-side replay on the same data
+    # (asof_join takes ONE ts column name shared by both sides)
+    r_asof = right.withColumnRenamed("rts", "lts")
+    got = {r.lid: r.rid
+           for r in asof_join(left, r_asof, ["k"], "lts", ["rid"]).collect()}
+    rrows = sorted((r.rts, r.rid) for r in right.collect())
+    import bisect
+    rts_sorted = [t for t, _ in rrows]
+    for r in left.collect():
+        i = bisect.bisect_right(rts_sorted, r.lts)
+        expect = rrows[i - 1][1] if i else None
+        # ties at the matched ts resolve to the greatest rid; bisect_right
+        # already lands past the tie group, so rrows[i-1] is that row
+        assert got[r.lid] == expect, r.lid
+    assert len(got) == n
+
+    # range: salted == unsalted (exact pair multiset) on the hot key
+    plain = {(r.lid, r.rid)
+             for r in range_join(left, right, ["k"], "lts", "rts",
+                                 lo=-50, hi=50).collect()}
+    salted = [(r.lid, r.rid)
+              for r in range_join(left, right, ["k"], "lts", "rts",
+                                  lo=-50, hi=50, salt=8).collect()]
+    assert set(salted) == plain and len(salted) == len(plain) and plain
+
+    with pytest.raises(ValueError, match="salt"):
+        range_join(left, right, ["k"], "lts", "rts", lo=0, hi=1, salt=1)
+
+
 def test_asof_join_tied_right_timestamps_deterministic(spark):
     """Ties on the matched timestamp resolve to the greatest value tuple —
     and the gate twin resolves identically (max id at the matched ts)."""
