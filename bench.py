@@ -63,10 +63,11 @@ CONVS_PER_SF = 3_000_000
 # round-over-round perf claims don't live inside the sf0.1 noise floor.
 # The corpus is a deterministic 10x key-shifted replication of the sf
 # directory (no external data); only the tables these queries read are
-# materialized. ngram_jaccard is deliberately absent: the synthetic
-# 31-word vocabulary makes shingle-df quadratics unrepresentative at 10x
-# (every trigram becomes boilerplate), which measures the fixture, not
-# the operator.
+# materialized. ngram_jaccard/minhash_verified run WITH their drop-stat
+# counters recorded alongside (SF1_DROP_STATS): the synthetic 31-word
+# vocabulary turns many trigrams into boilerplate at 10x, so the df/bucket
+# caps fire — the counters make exactly how much the guards discarded part
+# of the recorded result instead of a silent caveat.
 SF1_FACTOR = 10
 SF1_KEYS = {
     "documents": ["doc_id"],
@@ -82,11 +83,16 @@ SF1_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_verified",
     "text_repetition",
     "rel_events_asof",
     "rel_events_range_join",
     "rel_time_rollup",
 ]
+# drop-stat observability recorded (values, not timings) next to the sf1
+# numbers for the capped dedup operators
+SF1_DROP_STATS = ["dedup_jaccard_drop_stats", "dedup_lsh_drop_stats"]
 
 
 def materialize_sf1(spark, sf_dir: str, factor: int = SF1_FACTOR) -> str:
@@ -195,23 +201,55 @@ def time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
-def kg_chain_large(spark, corpus_path: str, trie) -> dict:
+def kg_chain_large(spark, corpus_path: str, trie, runs: int = 3) -> dict:
     """Full KG chain (tag -> link -> CC -> triples) over the ~10x-scale
-    synthetic corpus — the headline-chain number at sf~1 equivalent."""
+    synthetic corpus — the headline-chain number at sf~1 equivalent.
+
+    Median of ``runs`` repetitions with PER-STAGE attribution (the chain
+    number swung ~2x across rounds with no plan change, so a single-shot
+    wall time is not evidence of anything): each run materializes the
+    persisted ``linked`` subtree (tag+link), then entities (CC; also
+    cached so the triples stage doesn't re-run it), then the triple
+    assembly — same total work as the one-shot count, but attributable.
+    Caches are cleared between runs so every run is cold."""
+    from autoner_spark.caching import release_caches
     from autoner_spark.triples import build_kg
 
     df = spark.read.parquet(os.path.join(corpus_path, "transcripts"))
     n_turns = df.count()
-    t0 = time.perf_counter()
-    kg = build_kg(spark, df, synth.bench_dict_spec(), trie=trie)
-    n_triples = kg["triples"].count()
-    wall = time.perf_counter() - t0
-    kg["linked"].unpersist()
+    results = []
+    for _ in range(runs):
+        release_caches()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        kg = build_kg(spark, df, synth.bench_dict_spec(), trie=trie)
+        kg["entities"].persist()
+        kg["linked"].count()                  # stage 1: tag + link
+        t1 = time.perf_counter()
+        kg["entities"].count()                # stage 2: canonicalize (CC)
+        t2 = time.perf_counter()
+        n_triples = kg["triples"].count()     # stage 3: triple assembly
+        t3 = time.perf_counter()
+        kg["entities"].unpersist()
+        kg["linked"].unpersist()
+        results.append({
+            "sec": t3 - t0,
+            "tag_link_sec": t1 - t0,
+            "cc_sec": t2 - t1,
+            "triples_sec": t3 - t2,
+            "n_triples": n_triples,
+        })
+    med = sorted(results, key=lambda r: r["sec"])[len(results) // 2]
     return {
         "n_turns": n_turns,
-        "n_triples": n_triples,
-        "sec": round(wall, 3),
-        "turns_per_sec": round(n_turns / wall),
+        "n_triples": med["n_triples"],
+        "sec": round(med["sec"], 3),
+        "turns_per_sec": round(n_turns / med["sec"]),
+        "stages": {
+            k: round(med[k], 3)
+            for k in ("tag_link_sec", "cc_sec", "triples_sec")
+        },
+        "run_secs": [round(r["sec"], 3) for r in results],
     }
 
 
@@ -281,6 +319,10 @@ def main() -> None:
             # runs must stay ODD: sorted(ts)[len//2] of 2 runs is the MAX,
             # not a median, silently biasing sf1 vs the 3-run sf0.1 numbers
             "queries": time_queries(SF1_QUERIES, spark, sf1_dir, runs=3),
+            "drop_stats": {
+                name: Q.QUERIES[name](spark, sf1_dir).first().asDict()
+                for name in SF1_DROP_STATS
+            },
         }
 
     # --- scaling corpus (built once, deterministic; the path encodes the
