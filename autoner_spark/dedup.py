@@ -407,6 +407,64 @@ def simhash_hamming_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    max_bucket_size: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, n_bands, involves_new): MinHash-LSH candidate pairs
+    INVOLVING the new batch — the incremental/CDC dedup shape: an ingest
+    batch is checked against the existing corpus (and against itself)
+    without re-emitting the corpus's internal pairs, which the original
+    batch dedup already settled.
+
+    Same plan family as ``minhash_lsh_pairs`` (grouped-bucket in-row pair
+    explosion, pre-collect skew cap), with an is-new flag carried through
+    the bucket membership so old-old pairs are filtered INSIDE the pair
+    explosion — they never reach a shuffle. At production scale the old
+    side's band buckets are a precomputed table (signatures are a pure
+    function of text, so they persist across batches); here they are
+    derived inline from ``old_docs``, and the per-batch cost is
+    O(new-batch shingles) + one equi-join against the bucket table —
+    never a rescan-the-corpus-per-batch quadratic. ``involves_new``
+    distinguishes new-new pairs (dedup within the batch) from new-old
+    (batch duplicates an existing document; the usual retention rule
+    drops the new copy)."""
+    banded = (
+        _minhash_banded(old_docs, num_hashes, band_size, n, id_col, text_col)
+        .withColumn("new", F.lit(0))
+        .unionByName(
+            _minhash_banded(new_docs, num_hashes, band_size, n, id_col,
+                            text_col).withColumn("new", F.lit(1))
+        )
+    )
+    kept = _cap_group_size(banded, ["band", "bucket"], max_bucket_size,
+                           min_size=2)
+    buckets = kept.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("id", "new"))).alias("ms")
+    )
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), F.col("ms"))
+        .select("a", F.explode("ms").alias("b"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & ((F.col("a.new") == 1) | (F.col("b.new") == 1))
+        )
+    )
+    return pairs.groupBy(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    ).agg(
+        F.count("*").alias("n_bands"),
+        F.when(F.max(F.col("a.new") + F.col("b.new")) == 2, "new_new")
+        .otherwise("new_old").alias("involves_new"),
+    )
+
+
 def minhash_verified_pairs(
     docs: DataFrame,
     num_hashes: int = 16,

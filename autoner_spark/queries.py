@@ -1547,6 +1547,64 @@ GROUP BY x.id, y.id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-shaped) dedup: the corpus is split into an existing
+    OLD side and a NEW ingest batch (doc_id % 5 == 0 stands in for the
+    batch); only pairs involving the batch are emitted — old-old pairs were
+    settled by the original batch dedup and are filtered inside the pair
+    explosion, before any shuffle."""
+    from .dedup import incremental_minhash_pairs
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_minhash_pairs(old, new, num_hashes=16, band_size=4,
+                                     n=3, max_bucket_size=64)
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, pos, concat_ws(' ', tok,
+           lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+base AS (
+    SELECT id, cast(('0x' || substring(md5(shingle), 1, 8)) AS bigint) AS x
+    FROM sh
+),
+salted AS (
+    SELECT id, h, ((2 * h + 1) * x + h * 12582917) % 2147483647 AS hv
+    FROM base, unnest(range(0, 16)) AS u(h)
+),
+sig AS (SELECT id, h, min(hv) AS minhash FROM salted GROUP BY id, h),
+banded AS (
+    SELECT id, cast(floor(h / 4) AS integer) AS band,
+           md5(string_agg(cast(minhash AS varchar), ',' ORDER BY h)) AS bucket,
+           CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END AS new
+    FROM sig GROUP BY id, cast(floor(h / 4) AS integer)
+),
+capped AS (
+    SELECT band, bucket FROM banded GROUP BY band, bucket
+    HAVING count(*) BETWEEN 2 AND 64
+)
+SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_bands,
+       CASE WHEN max(x.new + y.new) = 2 THEN 'new_new'
+            ELSE 'new_old' END AS involves_new
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+ AND (x.new = 1 OR y.new = 1)
+JOIN capped c ON c.band = x.band AND c.bucket = x.bucket
+GROUP BY x.id, y.id
+"""
+
+
 def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact-Jaccard verification: the production near-dup
     composition (bounded candidate cost, exact-similarity output)."""
@@ -2580,6 +2638,136 @@ WHERE h < rate
 """
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: emails and international phone numbers
+    found, counted and replaced with typed placeholders — the scrub every
+    web-scale training pipeline runs before anything else. Pure JVM-side
+    regexp expressions (patterns kept in the Java/RE2 common dialect so
+    the DuckDB twin is exact). The fixture corpus carries no PII, so the
+    query PLANTS deterministic doc_id-derived contacts on a tenth of the
+    documents first; the gate then pins detection counts AND the md5 of
+    the scrubbed text."""
+    email_re = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    phone_re = "\\+[0-9]{8,15}"
+    d = load(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        ).when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(F.col("text"), F.lit(" call +1555"),
+                     F.lpad((F.col("doc_id") % 10_000_000).cast("string"),
+                            7, "0")),
+        ).otherwise(F.col("text")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "<EMAIL>"),
+        phone_re, "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email_re)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(phone_re)).cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+SQL_TEXT_PII_SCRUB = """
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0
+                THEN concat(text, ' contact user', cast(doc_id AS varchar),
+                            '@example.com now')
+                WHEN doc_id % 10 = 5
+                THEN concat(text, ' call +1555',
+                            lpad(cast(doc_id % 10000000 AS varchar), 7, '0'))
+                ELSE text END AS t
+    FROM documents
+)
+SELECT doc_id,
+       cast(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+'))
+            AS bigint) AS n_emails,
+       cast(len(regexp_extract_all(t, '\\+[0-9]{8,15}')) AS bigint)
+            AS n_phones,
+       md5(regexp_replace(
+           regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+           '\\+[0-9]{8,15}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM planted
+"""
+
+
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary mining: the 20 trigram shingles with the
+    highest document frequency (deterministic tie-break by shingle). The
+    top-k runs as a TakeOrdered over the aggregated df relation —
+    O(log k) heap per partition, no global sort materialization."""
+    from .dedup import shingles_df
+
+    sh = shingles_df(load_parallel(spark, sf_dir, "documents"), n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(20)
+    )
+
+
+SQL_TEXT_NGRAM_TOPK = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, concat_ws(' ', tok, lead(tok, 1) OVER w,
+                             lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL)
+SELECT shingle, cast(count(*) AS bigint) AS df
+FROM sh GROUP BY shingle
+ORDER BY df DESC, shingle
+LIMIT 20
+"""
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: fixed-width (16-token) histogram of document
+    token counts with per-bucket extremes — the one-pass shape every
+    corpus audit starts with. Integer bucket math only (floor(n/16)):
+    a log2-based bucket would sit exactly on power-of-two boundaries
+    where the two engines' log implementations can disagree by 1 ulp."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(F.floor(n / 16).cast("int").alias("len_bucket"),
+                 n.alias("n"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+SQL_TEXT_LENGTH_HISTOGRAM = """
+SELECT cast(floor(len(string_split(text, ' ')) / 16) AS integer) AS len_bucket,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(min(len(string_split(text, ' '))) AS bigint) AS min_tokens,
+       cast(max(len(string_split(text, ' '))) AS bigint) AS max_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import token_stats
 
@@ -2732,6 +2920,10 @@ QUERIES = {
     # --- (1) new this round (r04) ---
     "sim_kmeans_centroids": q_sim_kmeans_centroids,
     "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
+    "dedup_incremental": q_dedup_incremental,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_length_histogram": q_text_length_histogram,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -2804,6 +2996,10 @@ QUERIES = {
 ORACLE_SQL = {
     "sim_kmeans_centroids": SQL_SIM_KMEANS_CENTROIDS,
     "sim_ivf_topk_kmeans": SQL_SIM_IVF_TOPK_KMEANS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "text_pii_scrub": SQL_TEXT_PII_SCRUB,
+    "text_ngram_topk": SQL_TEXT_NGRAM_TOPK,
+    "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

@@ -492,6 +492,26 @@ def test_lsh_arrow_signatures_match_relational(spark, emb):
         embedding_lsh_pairs(base, signature="bogus")
 
 
+def test_incremental_minhash_is_exactly_the_new_involving_pairs(spark, docs):
+    """The CDC-shaped dedup must equal the full-corpus LSH pair set
+    restricted to pairs touching the new batch — nothing extra (no old-old
+    leakage), nothing missing (the batch sees the whole corpus), and the
+    new_new/new_old labels must match the split."""
+    from autoner_spark.dedup import incremental_minhash_pairs, minhash_lsh_pairs
+
+    is_new = lambda i: i % 5 == 0  # noqa: E731
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    inc = {(r.id_a, r.id_b): (r.n_bands, r.involves_new)
+           for r in incremental_minhash_pairs(old, new).collect()}
+    full = {(r.id_a, r.id_b): r.n_bands
+            for r in minhash_lsh_pairs(docs).collect()}
+    want = {p: nb for p, nb in full.items() if is_new(p[0]) or is_new(p[1])}
+    assert {p: nb for p, (nb, _) in inc.items()} == want and inc
+    for (a, b), (_, label) in inc.items():
+        assert label == ("new_new" if is_new(a) and is_new(b) else "new_old")
+
+
 def test_simhash_arrow_matches_relational(spark, docs):
     """The Arrow map-stage SimHash must be bit-identical to the relational
     vote pipeline — on the corpus fixture AND on the tokenizer edge cases
