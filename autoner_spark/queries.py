@@ -1145,6 +1145,175 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view -> click -> purchase, strictly ordered per
+    user): each stage is the user's FIRST qualifying event at-or-after the
+    previous stage — the product-analytics staple. Three per-user
+    aggregates chained by equi-joins back into the filtered events scan:
+    the events table streams once per stage and never self-joins. Stage
+    relations are user-count-sized — deliberately NOT broadcast-hinted,
+    because user count is unbounded (a 10^9-user corpus would OOM a
+    forced broadcast); AQE picks broadcast whenever the stage relation is
+    actually small, and the fallback is a plain shuffled equi-join on the
+    same user_id key every stage reuses."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("tus").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("tus") >= F.col("vt"))
+        .groupBy("user_id").agg(F.min("tus").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("tus") >= F.col("ct"))
+        .groupBy("user_id").agg(F.min("tus").alias("pt"))
+    )
+    out = (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+    )
+    return out.select(
+        "user_id",
+        F.when(F.col("pt").isNotNull(), 3)
+        .when(F.col("ct").isNotNull(), 2).otherwise(1).alias("stage"),
+        F.floor(F.col("vt") / 1_000_000).cast("long").alias("view_sec"),
+        F.floor((F.col("ct") - F.col("vt")) / 1_000_000).cast("long")
+        .alias("click_gap_sec"),
+        F.floor((F.col("pt") - F.col("ct")) / 1_000_000).cast("long")
+        .alias("purchase_gap_sec"),
+    )
+
+
+SQL_REL_EVENT_FUNNEL = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+v AS (
+    SELECT user_id, min(tus) AS vt FROM e
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(tus) AS ct
+    FROM e JOIN v USING (user_id)
+    WHERE event_type = 'click' AND tus >= vt
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(tus) AS pt
+    FROM e JOIN c USING (user_id)
+    WHERE event_type = 'purchase' AND tus >= ct
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CASE WHEN pt IS NOT NULL THEN 3
+            WHEN ct IS NOT NULL THEN 2 ELSE 1 END AS stage,
+       cast(floor(vt / 1000000) AS bigint) AS view_sec,
+       cast(floor((ct - vt) / 1000000) AS bigint) AS click_gap_sec,
+       cast(floor((pt - ct) / 1000000) AS bigint) AS purchase_gap_sec
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def q_rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter primitive, fully relational and
+    engine-portable: a k=4-hash, m=8192-bit filter over the high-balance
+    customers' keys, probed by the distinct order custkeys. This is the
+    broadcast-bloom pattern that prunes a fact-table shuffle before an
+    expensive join at 100 TB: the filter state is the distinct occupied-
+    position set (bounded by m — tiny, broadcastable), a probe key passes
+    iff all k positions are occupied, and the one-row output exposes the
+    measured false-positive count next to the true semi-join count, so
+    the filter's selectivity is auditable."""
+    m, k = 8192, 4
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+
+    def positions(key_col):
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom{i}:"),
+                                       key_col.cast("string"))), 1, 8),
+                    16, 10,
+                ).cast("long") % m
+            )
+            for i in range(k)
+        ]
+
+    keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    occupied = (
+        keys.select(F.explode(F.array(*positions(F.col("c_custkey"))))
+                    .alias("pos"))
+        .distinct()
+    )
+    probes = orders.select(F.col("o_custkey").alias("key")).distinct()
+    hits = (
+        probes.select("key", F.explode(F.array(*positions(F.col("key"))))
+                      .alias("pos"))
+        .join(F.broadcast(occupied), "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("hit"))
+        .filter(F.col("hit") == k)
+    )
+    true_match = probes.join(
+        keys.select(F.col("c_custkey").alias("key")).distinct(), "key",
+        "left_semi",
+    )
+    return (
+        occupied.agg(F.count("*").cast("long").alias("n_occupied"))
+        .crossJoin(probes.agg(F.count("*").cast("long").alias("n_probes")))
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_pass")))
+        .crossJoin(true_match.agg(F.count("*").cast("long").alias("n_true")))
+        .select(
+            "n_occupied", "n_probes", "n_pass", "n_true",
+            (F.col("n_pass") - F.col("n_true")).cast("long")
+            .alias("n_false_positives"),
+        )
+    )
+
+
+SQL_REL_BLOOM_SEMIJOIN = """
+WITH keys AS (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+),
+occupied AS (
+    SELECT DISTINCT
+           cast(('0x' || substring(md5(concat('bloom', i, ':',
+                cast(c_custkey AS varchar))), 1, 8)) AS bigint) % 8192 AS pos
+    FROM keys, unnest(range(0, 4)) AS u(i)
+),
+probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+ppos AS (
+    SELECT key,
+           cast(('0x' || substring(md5(concat('bloom', i, ':',
+                cast(key AS varchar))), 1, 8)) AS bigint) % 8192 AS pos
+    FROM probes, unnest(range(0, 4)) AS u(i)
+),
+pass AS (
+    SELECT key FROM ppos JOIN occupied USING (pos)
+    GROUP BY key HAVING count(*) = 4
+),
+truth AS (
+    SELECT DISTINCT p.key FROM probes p
+    JOIN keys k ON k.c_custkey = p.key
+)
+SELECT (SELECT cast(count(*) AS bigint) FROM occupied) AS n_occupied,
+       (SELECT cast(count(*) AS bigint) FROM probes) AS n_probes,
+       (SELECT cast(count(*) AS bigint) FROM pass) AS n_pass,
+       (SELECT cast(count(*) AS bigint) FROM truth) AS n_true,
+       (SELECT cast(count(*) AS bigint) FROM pass)
+         - (SELECT cast(count(*) AS bigint) FROM truth) AS n_false_positives
+"""
+
+
 def q_rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: each purchase gets the user's latest click at-or-before
     it (the point-in-time feature lookup). Spark side: union + one window
@@ -2924,6 +3093,8 @@ QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_ngram_topk": q_text_ngram_topk,
     "text_length_histogram": q_text_length_histogram,
+    "rel_event_funnel": q_rel_event_funnel,
+    "rel_bloom_semijoin": q_rel_bloom_semijoin,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3000,6 +3171,8 @@ ORACLE_SQL = {
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "text_ngram_topk": SQL_TEXT_NGRAM_TOPK,
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
+    "rel_event_funnel": SQL_REL_EVENT_FUNNEL,
+    "rel_bloom_semijoin": SQL_REL_BLOOM_SEMIJOIN,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,
