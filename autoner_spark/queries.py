@@ -3075,6 +3075,392 @@ FROM m WHERE modality = 'video'
 
 
 # ---------------------------------------------------------------------------
+# round-4 wave 2: retrieval scoring, chunking, graph centrality, sketches,
+# warehouse merge
+# ---------------------------------------------------------------------------
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking (Robertson/Sparck-Jones; k1=1.2, b=0.75) of
+    documents against a fixed 3-term query — the retrieval primitive a
+    training-data curator uses to mine topical subsets. Shape at 100 TB:
+    the term filter prunes the exploded token stream BEFORE the first
+    shuffle (only query-term postings survive), the per-term df relation
+    is vocabulary-bounded (broadcast), and corpus stats (N, avgdl) are a
+    single broadcast row — the corpus streams once. Scores are rounded to
+    6dp BEFORE the top-k ordering so both engines pick the same 20 docs
+    (tie-break doc_id)."""
+    k1, b = 1.2, 0.75
+    terms = ["join", "scan", "filter"]
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_rel = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_rel), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+SQL_TEXT_BM25_TOPK = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+stats AS (
+    SELECT cast(count(*) AS bigint) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+    SELECT doc_id, dl, tok, cast(count(*) AS bigint) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+    WHERE tok IN ('join', 'scan', 'filter')
+    GROUP BY doc_id, dl, tok
+),
+dfr AS (SELECT tok, cast(count(*) AS bigint) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT doc_id, cast(count(*) AS integer) AS n_terms,
+           round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+           ), 6) AS score
+    FROM tf JOIN dfr USING (tok) CROSS JOIN stats
+    GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride document chunking with overlap (window=32 tokens,
+    stride=24 -> 8-token overlap) — the context-window packing prep step
+    for LLM training. Pure in-row integer/array expressions (sequence ->
+    explode -> slice): map-only, zero shuffles, whole-stage codegen'd;
+    chunk boundaries are token-index arithmetic so the op is
+    embarrassingly parallel at any scale."""
+    window, stride = 32, 24
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        d.select("doc_id", F.explode(starts).alias("start"), "toks")
+        .select(
+            "doc_id",
+            F.floor(F.col("start") / stride).cast("int").alias("chunk_idx"),
+            F.slice(F.col("toks"), F.col("start") + 1, window).alias("chunk"),
+        )
+        .select(
+            "doc_id", "chunk_idx",
+            F.size("chunk").cast("int").alias("n_tokens"),
+            F.array_join(F.col("chunk"), " ").alias("chunk_text"),
+        )
+    )
+
+
+SQL_TEXT_CHUNK_OVERLAP = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+    FROM d
+),
+c AS (
+    SELECT doc_id, cast(floor(start / 24) AS integer) AS chunk_idx,
+           list_slice(toks, start + 1, start + 32) AS chunk
+    FROM s
+)
+SELECT doc_id, chunk_idx, cast(len(chunk) AS integer) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Brin/Page; damping 0.85, 3 unrolled iterations) over the
+    entity co-occurrence graph — graph centrality for KG entity salience.
+    Each iteration is the canonical distributed shape: edges JOIN ranks on
+    src, groupBy dst with an algebraic sum (map-side combined), so one
+    shuffle per iteration keyed the same way. The edge list (near-dup-
+    family-bounded, NOT corpus-sized) is persisted once; node count enters
+    as a broadcast one-row relation, never a driver collect. The symmetric
+    graph has no dangling nodes, so no leaked-mass correction term is
+    needed. FP note: the per-dst sum is order-dependent float addition
+    (same accepted 6dp-rounding risk class as rel_time_rollup)."""
+    e = q_kg_cooccurrence(spark, sf_dir).select("surface_a", "surface_b")
+    edges = persist_tracked(
+        e.select(F.col("surface_a").alias("src"), F.col("surface_b").alias("dst"))
+        .union(
+            e.select(F.col("surface_b").alias("src"),
+                     F.col("surface_a").alias("dst"))
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nstat = nodes.agg(F.count("*").cast("long").alias("n"))
+    r = nodes.crossJoin(F.broadcast(nstat)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nstat))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("n")
+                 + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+        )
+    return r.join(deg, r["node"] == deg["src"]).select(
+        "node", F.col("deg"), F.round("rank", 6).alias("rank")
+    )
+
+
+SQL_KG_PAGERANK = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, surface FROM mentions),
+pairs AS (
+    -- DISTINCT: the Spark side's edge list is the aggregated co-occurrence
+    -- relation (one edge per surface pair), not one edge per shared turn
+    SELECT DISTINCT a.surface AS sa, b.surface AS sb
+    FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+    WHERE a.surface < b.surface
+),
+e AS (
+    SELECT sa AS src, sb AS dst FROM pairs
+    UNION ALL SELECT sb AS src, sa AS dst FROM pairs
+),
+deg AS (SELECT src, cast(count(*) AS bigint) AS deg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nst AS (SELECT cast(count(*) AS bigint) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nst),
+c1 AS (
+    SELECT e.dst, sum(r.rank / d.deg) AS c
+    FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r1 AS (
+    SELECT nodes.node, 0.15 / n + 0.85 * coalesce(c1.c, 0) AS rank
+    FROM nodes CROSS JOIN nst LEFT JOIN c1 ON c1.dst = nodes.node
+),
+c2 AS (
+    SELECT e.dst, sum(r.rank / d.deg) AS c
+    FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r2 AS (
+    SELECT nodes.node, 0.15 / n + 0.85 * coalesce(c2.c, 0) AS rank
+    FROM nodes CROSS JOIN nst LEFT JOIN c2 ON c2.dst = nodes.node
+),
+c3 AS (
+    SELECT e.dst, sum(r.rank / d.deg) AS c
+    FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r3 AS (
+    SELECT nodes.node, 0.15 / n + 0.85 * coalesce(c3.c, 0) AS rank
+    FROM nodes CROSS JOIN nst LEFT JOIN c3 ON c3.dst = nodes.node
+)
+SELECT r3.node, deg.deg, round(r3.rank, 6) AS rank
+FROM r3 JOIN deg ON deg.src = r3.node
+"""
+
+
+def q_rel_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode/Muthukrishnan; d=4 rows x w=512 cols)
+    frequency estimation for event users, audited against exact counts on
+    the top-10 heavy hitters. Sketch state is the (row, col) cell-count
+    relation — bounded by d*w = 2048 rows regardless of corpus size, so
+    it broadcasts; the probe is an explode + broadcast-join + min-agg.
+    Integer-exact end to end (portable md5 hashing, no FP), and the CMS
+    one-sided guarantee (est >= exact) is exposed as an overshoot column
+    the gate verifies."""
+    d_rows, w_cols = 4, 512
+    ev = load(spark, sf_dir, "events").select("user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+
+    def pos(key_col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{i}:"), key_col.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % w_cols
+        )
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("row"),
+                             pos(F.col("user_id"), i).alias("col"))
+                    for i in range(d_rows)
+                ])
+            ).alias("rc")
+        )
+        .select("rc.row", "rc.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("exact"))
+    probes = exact.select(
+        "user_id", "exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("row"),
+                         pos(F.col("user_id"), i).alias("col"))
+                for i in range(d_rows)
+            ])
+        ).alias("rc"),
+    ).select("user_id", "exact", "rc.row", "rc.col")
+    est = (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id", "exact", "cms_est",
+            (F.col("cms_est") - F.col("exact")).cast("long").alias("overshoot"),
+        )
+        .orderBy(F.col("exact").desc(), "user_id")
+        .limit(10)
+    )
+
+
+SQL_REL_CMS_HEAVY_HITTERS = """
+WITH ev AS (
+    SELECT user_id FROM events WHERE user_id IS NOT NULL
+),
+pos AS (
+    SELECT user_id, i AS row,
+           cast(('0x' || substring(md5(concat('cms', i, ':',
+                cast(user_id AS varchar))), 1, 8)) AS bigint) % 512 AS col
+    FROM ev, unnest(range(0, 4)) AS u(i)
+),
+cells AS (
+    SELECT row, col, cast(count(*) AS bigint) AS cnt
+    FROM pos GROUP BY row, col
+),
+exact AS (
+    SELECT user_id, cast(count(*) AS bigint) AS exact
+    FROM ev GROUP BY user_id
+),
+probe AS (
+    SELECT e.user_id, e.exact, i AS row,
+           cast(('0x' || substring(md5(concat('cms', i, ':',
+                cast(e.user_id AS varchar))), 1, 8)) AS bigint) % 512 AS col
+    FROM exact e, unnest(range(0, 4)) AS u(i)
+),
+est AS (
+    SELECT p.user_id, p.exact, cast(min(c.cnt) AS bigint) AS cms_est
+    FROM probe p JOIN cells c USING (row, col)
+    GROUP BY p.user_id, p.exact
+)
+SELECT user_id, exact, cms_est,
+       cast(cms_est - exact AS bigint) AS overshoot
+FROM est
+ORDER BY exact DESC, user_id
+LIMIT 10
+"""
+
+
+def q_rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge: apply a change batch to a dimension and emit
+    versioned rows with [valid_from, valid_to) intervals and a current
+    flag — the warehouse upsert. The change batch is derived
+    deterministically (every 7th orderkey flips status 30 days later).
+    Shape: union + ONE window pass per key ordered by effective time (no
+    self-join); at 100 TB this is a single shuffle on the merge key, and
+    the change batch unions in without touching base-table lineage twice.
+    Times as epoch micros (longs); closed intervals use a -1 sentinel so
+    no NULLs reach the hash compare."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("eff_us"),
+    )
+    changes = base.filter(F.col("key") % 7 == 0).select(
+        "key", F.lit("R").alias("status"),
+        (F.col("eff_us") + F.lit(30 * 86400 * 1_000_000).cast("long"))
+        .alias("eff_us"),
+    )
+    ver = base.unionByName(changes)
+    win = Window.partitionBy("key").orderBy("eff_us")
+    nxt = F.lead("eff_us").over(win)
+    return ver.select(
+        "key", "status",
+        F.col("eff_us").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(-1).cast("long")).alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+SQL_REL_SCD2_MERGE = """
+WITH base AS (
+    SELECT o_orderkey AS key, o_orderstatus AS status,
+           epoch_us(o_orderdate) AS eff_us
+    FROM orders
+),
+changes AS (
+    SELECT key, 'R' AS status,
+           eff_us + 30 * 86400 * cast(1000000 AS bigint) AS eff_us
+    FROM base WHERE key % 7 = 0
+),
+ver AS (
+    SELECT * FROM base UNION ALL SELECT * FROM changes
+)
+SELECT key, status, eff_us AS valid_from_us,
+       coalesce(lead(eff_us) OVER (PARTITION BY key ORDER BY eff_us),
+                -1) AS valid_to_us,
+       cast(CASE WHEN lead(eff_us) OVER (PARTITION BY key ORDER BY eff_us)
+                 IS NULL THEN 1 ELSE 0 END AS integer) AS is_current
+FROM ver
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3095,6 +3481,11 @@ QUERIES = {
     "text_length_histogram": q_text_length_histogram,
     "rel_event_funnel": q_rel_event_funnel,
     "rel_bloom_semijoin": q_rel_bloom_semijoin,
+    "text_bm25_topk": q_text_bm25_topk,
+    "text_chunk_overlap": q_text_chunk_overlap,
+    "kg_pagerank": q_kg_pagerank,
+    "rel_cms_heavy_hitters": q_rel_cms_heavy_hitters,
+    "rel_scd2_merge": q_rel_scd2_merge,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3173,6 +3564,11 @@ ORACLE_SQL = {
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     "rel_event_funnel": SQL_REL_EVENT_FUNNEL,
     "rel_bloom_semijoin": SQL_REL_BLOOM_SEMIJOIN,
+    "text_bm25_topk": SQL_TEXT_BM25_TOPK,
+    "text_chunk_overlap": SQL_TEXT_CHUNK_OVERLAP,
+    "kg_pagerank": SQL_KG_PAGERANK,
+    "rel_cms_heavy_hitters": SQL_REL_CMS_HEAVY_HITTERS,
+    "rel_scd2_merge": SQL_REL_SCD2_MERGE,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

@@ -19,6 +19,7 @@ PERSIST_BEARING = [
     "dedup_apply_ngram",
     "dedup_minhash_verified",  # shared shingle relation (verify pass)
     "dedup_simhash_pairs",     # shared signature relation
+    "kg_pagerank",             # persisted symmetric edge list
 ]
 
 
