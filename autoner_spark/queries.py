@@ -3460,6 +3460,146 @@ FROM ver
 """
 
 
+def q_kg_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-alias resolution over the mention-surface vocabulary:
+    candidate pairs share at least one token (the same blocking relation
+    canonicalize.py's CC uses), then exact Levenshtein distance <= 6
+    filters to plausible aliases. Classic ER blocking shape for 100 TB:
+    the surface VOCABULARY (sublinear in corpus size) is what squares,
+    and token blocking bounds the pair space to co-token families —
+    never an all-pairs crossJoin over mentions. Levenshtein runs only on
+    the surviving candidate pairs (both engines implement the classic
+    Wagner-Fischer distance — integer-exact)."""
+    nodes = exact_mentions_df(spark, sf_dir).select("surface").distinct()
+    toks = nodes.select(
+        "surface", F.explode(F.split("surface", " ")).alias("tok")
+    )
+    a = toks.select(F.col("surface").alias("surface_a"), "tok")
+    b = toks.select(F.col("surface").alias("surface_b"), "tok")
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("surface_a") < F.col("surface_b"))
+        .select("surface_a", "surface_b")
+        .distinct()
+    )
+    return pairs.select(
+        "surface_a", "surface_b",
+        F.levenshtein("surface_a", "surface_b").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= 6)
+
+
+SQL_KG_ENTITY_RESOLUTION = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE},
+nodes AS (SELECT DISTINCT surface FROM mentions),
+sur_toks AS (
+    SELECT surface, unnest(string_split(surface, ' ')) AS tok FROM nodes
+),
+pairs AS (
+    SELECT DISTINCT a.surface AS surface_a, b.surface AS surface_b
+    FROM sur_toks a JOIN sur_toks b USING (tok)
+    WHERE a.surface < b.surface
+)
+SELECT surface_a, surface_b,
+       cast(levenshtein(surface_a, surface_b) AS integer) AS dist
+FROM pairs
+WHERE levenshtein(surface_a, surface_b) <= 6
+"""
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation counts on the co-occurrence graph
+    — the clustering-structure primitive (community density, spam-graph
+    detection). Edges are canonically oriented (a < b) so each triangle
+    is enumerated exactly once by the two-join wedge closure; the edge
+    list is persisted once and reused by all three join legs. At 100 TB
+    graph scale the same plan applies with DEGREE-based orientation
+    (orient toward the higher-degree endpoint, hash tie-break) to bound
+    per-vertex wedge fan-out on skewed graphs; lexicographic orientation
+    is the deterministic fixture-scale stand-in."""
+    p = persist_tracked(
+        q_kg_cooccurrence(spark, sf_dir).select("surface_a", "surface_b")
+    )
+    xy = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("b"))
+    yz = p.select(F.col("surface_a").alias("b"), F.col("surface_b").alias("c"))
+    xz = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("c"))
+    tri = xy.join(yz, "b").join(xz, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+SQL_KG_TRIANGLES = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, surface FROM mentions),
+p AS (
+    SELECT DISTINCT a.surface AS sa, b.surface AS sb
+    FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+    WHERE a.surface < b.surface
+),
+tri AS (
+    SELECT xy.sa AS a, xy.sb AS b, yz.sb AS c
+    FROM p xy
+    JOIN p yz ON yz.sa = xy.sb
+    JOIN p xz ON xz.sa = xy.sa AND xz.sb = yz.sb
+),
+n AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node, cast(count(*) AS bigint) AS n_triangles
+FROM n GROUP BY node
+"""
+
+
+def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): priority = ln(u)/w with u an md5-derived uniform and
+    w the document token count, take the top 20 priorities — longer
+    documents proportionally more likely, yet fully reproducible and
+    engine-portable. Map-only until the TakeOrdered top-k (O(log k) heap
+    per partition, no global sort): the content-stable-hash analogue of
+    text_stratified_sample, but weight-proportional instead of uniform.
+    Priorities are rounded to 6dp BEFORE ordering so both engines select
+    the same rows (ulp-level ln/pow divergence cannot flip the
+    comparator; ties break by doc_id)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("double")
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                    1, 8),
+        16, 10,
+    ).cast("long")
+    u = (v + 0.5) / F.lit(4294967296.0)
+    pri = F.round(F.log(u) / w, 6)
+    return (
+        d.select(
+            "doc_id", w.cast("int").alias("n_tokens"), pri.alias("priority")
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_TEXT_WEIGHTED_SAMPLE = """
+WITH d AS (
+    SELECT doc_id,
+           cast(len(string_split(text, ' ')) AS integer) AS n_tokens,
+           (cast(('0x' || substring(md5(concat('ws:',
+                cast(doc_id AS varchar))), 1, 8)) AS bigint) + 0.5)
+             / 4294967296.0 AS u
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(ln(u) / cast(n_tokens AS double), 6) AS priority
+FROM d
+ORDER BY priority DESC, doc_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3486,6 +3626,9 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "rel_cms_heavy_hitters": q_rel_cms_heavy_hitters,
     "rel_scd2_merge": q_rel_scd2_merge,
+    "kg_entity_resolution": q_kg_entity_resolution,
+    "kg_triangles": q_kg_triangles,
+    "text_weighted_sample": q_text_weighted_sample,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3569,6 +3712,9 @@ ORACLE_SQL = {
     "kg_pagerank": SQL_KG_PAGERANK,
     "rel_cms_heavy_hitters": SQL_REL_CMS_HEAVY_HITTERS,
     "rel_scd2_merge": SQL_REL_SCD2_MERGE,
+    "kg_entity_resolution": SQL_KG_ENTITY_RESOLUTION,
+    "kg_triangles": SQL_KG_TRIANGLES,
+    "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

@@ -20,6 +20,7 @@ PERSIST_BEARING = [
     "dedup_minhash_verified",  # shared shingle relation (verify pass)
     "dedup_simhash_pairs",     # shared signature relation
     "kg_pagerank",             # persisted symmetric edge list
+    "kg_triangles",            # persisted oriented edge list
 ]
 
 

@@ -1,0 +1,175 @@
+"""Semantics pins for the round-4 operator wave (beyond the DuckDB gate):
+funnel ordering, bloom one-sidedness, BM25 monotonicity, chunk coverage,
+PageRank invariants, CMS guarantee, SCD2 interval chaining, triangle
+counts on a known graph, ER symmetry-free blocking, weighted sampling
+bias."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release(spark):
+    yield
+    from autoner_spark.caching import release_caches
+
+    release_caches()
+
+
+def test_funnel_stages_are_ordered(spark):
+    from autoner_spark.queries import QUERIES
+
+    rows = QUERIES["rel_event_funnel"](spark, SF).collect()
+    assert rows, "funnel empty on fixture"
+    for r in rows:
+        assert r.stage in (1, 2, 3)
+        if r.stage >= 2:
+            assert r.click_gap_sec is not None and r.click_gap_sec >= 0
+        if r.stage == 3:
+            assert r.purchase_gap_sec is not None and r.purchase_gap_sec >= 0
+        if r.stage < 3:
+            assert r.purchase_gap_sec is None
+
+
+def test_bloom_is_one_sided(spark):
+    # a bloom filter can false-positive but never false-negative:
+    # n_pass >= n_true, and occupancy is bounded by k * n_keys
+    from autoner_spark.queries import QUERIES
+
+    r = QUERIES["rel_bloom_semijoin"](spark, SF).collect()[0]
+    assert r.n_pass >= r.n_true
+    assert r.n_false_positives == r.n_pass - r.n_true
+    assert 0 < r.n_occupied <= 8192
+
+
+def test_bm25_more_matched_terms_scores_higher_at_equal_tf(spark):
+    # a doc matching all 3 query terms must outrank a doc matching 1 term
+    # once per identical length — pin with a synthetic corpus
+    from autoner_spark import queries as Q
+
+    df = spark.createDataFrame(
+        [(0, "join scan filter x y z"), (1, "join a b c d e"),
+         (2, "a b c d e f")] + [(i, "w x y z u v") for i in range(3, 40)],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r.score
+               for r in Q.QUERIES["text_bm25_topk"](spark, td).collect()}
+    assert set(out) == {0, 1}  # only term-matching docs score
+    assert out[0] > out[1]
+
+
+def test_chunks_cover_document_exactly(spark):
+    # stride-24/window-32 chunks: first 24 tokens of each chunk
+    # concatenated (plus the final chunk's tail) reconstruct the doc
+    from autoner_spark.queries import QUERIES, load
+
+    chunks = QUERIES["text_chunk_overlap"](spark, SF)
+    docs = {r.doc_id: r.text for r in load(spark, SF, "documents").collect()}
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        toks = docs[doc_id].split(" ")
+        rebuilt = []
+        for r in rs[:-1]:
+            assert r.n_tokens == min(32, len(toks) - r.chunk_idx * 24)
+            rebuilt.extend(r.chunk_text.split(" ")[:24])
+        rebuilt.extend(rs[-1].chunk_text.split(" "))
+        assert rebuilt == toks
+
+
+def test_pagerank_mass_and_uniform_on_symmetric_graph(spark):
+    from autoner_spark.queries import QUERIES
+
+    rows = QUERIES["kg_pagerank"](spark, SF).collect()
+    assert rows
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-3  # rank mass conserved (no dangling)
+    # complete-graph symmetry: nodes with equal degree get equal rank
+    by_deg = {}
+    for r in rows:
+        by_deg.setdefault(r.deg, set()).add(r.rank)
+    for deg, ranks in by_deg.items():
+        assert max(ranks) - min(ranks) < 1e-5, (deg, ranks)
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from autoner_spark.queries import QUERIES
+
+    rows = QUERIES["rel_cms_heavy_hitters"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact
+        assert r.overshoot == r.cms_est - r.exact
+
+
+def test_scd2_intervals_chain_per_key(spark):
+    from autoner_spark.queries import QUERIES
+
+    rows = QUERIES["rel_scd2_merge"](spark, SF).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    changed = 0
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r.valid_from_us)
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current == 1 and rs[-1].valid_to_us == -1
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us  # no gaps, no overlaps
+        if len(rs) == 2:
+            changed += 1
+            assert rs[1].status == "R"
+            assert key % 7 == 0
+    assert changed > 0
+
+
+def test_triangles_on_known_graph(spark, monkeypatch):
+    # 4-clique + pendant edge: the clique's 4 nodes are each in C(3,2)=3
+    # triangles; the pendant node in none (absent from output).
+    from autoner_spark import queries as Q
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e")]
+    fake = spark.createDataFrame(edges, "surface_a string, surface_b string")
+    monkeypatch.setattr(Q, "q_kg_cooccurrence", lambda s, sf: fake)
+    out = {r.node: r.n_triangles
+           for r in Q.q_kg_triangles(spark, SF).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_entity_resolution_requires_shared_token(spark):
+    from autoner_spark.queries import QUERIES
+
+    rows = QUERIES["kg_entity_resolution"](spark, SF).collect()
+    for r in rows:
+        assert r.surface_a < r.surface_b  # canonical orientation, no dups
+        assert set(r.surface_a.split()) & set(r.surface_b.split())
+        assert r.dist <= 6
+
+
+def test_weighted_sample_prefers_longer_docs(spark):
+    # ES sampling: expected inclusion prob ∝ weight. With one doc 50x
+    # heavier than the rest, it must land in the top-20 of 200.
+    from autoner_spark import queries as Q
+
+    docs = [(i, "w " * 9 + "w") for i in range(199)]  # 10 tokens each
+    docs.append((199, "w " * 499 + "w"))  # 500 tokens
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        picked = {r.doc_id
+                  for r in Q.QUERIES["text_weighted_sample"](spark, td).collect()}
+    assert len(picked) == 20
+    assert 199 in picked
