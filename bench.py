@@ -46,6 +46,11 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_quality",
     "text_repetition",
+    # round-4 new-family representatives: retrieval scoring, graph
+    # centrality, warehouse merge
+    "text_bm25_topk",
+    "kg_pagerank",
+    "rel_scd2_merge",
 ]
 
 DUCK_TABLES = [
