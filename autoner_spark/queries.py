@@ -3600,6 +3600,171 @@ LIMIT 20
 """
 
 
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, document frequency, total
+    term frequency, and a BOUNDED postings sample (first 16 doc_ids,
+    sorted) — the IR index-build materialization. One shuffle on the term
+    key with map-side-combined counts; the postings list is capped with
+    slice() AFTER array_sort so no term's row grows with corpus size (the
+    full postings would live as the (term -> doc) relation itself at 100
+    TB — the capped sample is the browsable index surface)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    return per_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 16), ","
+        ).alias("postings_head"),
+    )
+
+
+SQL_TEXT_INVERTED_INDEX = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_doc AS (
+    SELECT term, doc_id, cast(count(*) AS bigint) AS tf
+    FROM toks GROUP BY term, doc_id
+)
+SELECT term, cast(count(*) AS bigint) AS df,
+       cast(sum(tf) AS bigint) AS total_tf,
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 16),
+                       ',') AS postings_head
+FROM per_doc GROUP BY term
+"""
+
+
+def q_kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for community
+    detection on the co-occurrence graph: every node starts as its own
+    label; each of 2 unrolled rounds adopts the most frequent label among
+    neighbors (ties -> lexicographically smallest, making the usually
+    nondeterministic LPA fully deterministic and engine-portable). Per
+    round: one edges-join-labels shuffle + one (node, label) count + one
+    argmax window — the distributed LPA shape. Complements CC (connectivity)
+    and PageRank (centrality) with density-based communities."""
+    e = q_kg_cooccurrence(spark, sf_dir).select("surface_a", "surface_b")
+    edges = persist_tracked(
+        e.select(F.col("surface_a").alias("src"), F.col("surface_b").alias("dst"))
+        .union(e.select(F.col("surface_b").alias("src"),
+                        F.col("surface_a").alias("dst")))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(2):
+        counted = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        win = Window.partitionBy("node").orderBy(
+            F.col("n").desc(), F.col("label")
+        )
+        labels = (
+            counted.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+SQL_KG_LABEL_PROPAGATION = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, surface FROM mentions),
+pairs AS (
+    SELECT DISTINCT a.surface AS sa, b.surface AS sb
+    FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+    WHERE a.surface < b.surface
+),
+e AS (
+    SELECT sa AS src, sb AS dst FROM pairs
+    UNION ALL SELECT sb AS src, sa AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+c1 AS (
+    SELECT e.dst AS node, l.label, count(*) AS n
+    FROM e JOIN l0 l ON l.node = e.src
+    GROUP BY e.dst, l.label
+),
+l1 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label) AS rnk
+        FROM c1
+    ) WHERE rnk = 1
+),
+c2 AS (
+    SELECT e.dst AS node, l.label, count(*) AS n
+    FROM e JOIN l1 l ON l.node = e.src
+    GROUP BY e.dst, l.label
+),
+l2 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label) AS rnk
+        FROM c2
+    ) WHERE rnk = 1
+)
+SELECT node, label FROM l2
+"""
+
+
+def q_rel_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-frame window aggregates: per customer, order history in
+    time order with a running total and a trailing 3-order moving average
+    — the ROWS BETWEEN frame family (cumulative + bounded-preceding), one
+    shuffle on the partition key. Values kept FP-exact across engines by
+    summing scaled-integer cents inside the frames and dividing only at
+    the end (the rel_time_rollup discipline applied to window frames)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ous"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+    )
+    win = Window.partitionBy("custkey").orderBy("ous", "orderkey")
+    cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trail = win.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "custkey", "orderkey",
+        F.row_number().over(win).cast("int").alias("order_seq"),
+        F.round(F.sum("cents").over(cum) / 100.0, 2).alias("cum_spend"),
+        F.round(
+            (F.sum("cents").over(trail)
+             / F.count("*").over(trail) / 100.0), 2
+        ).alias("trailing3_avg"),
+    )
+
+
+SQL_REL_ROLLING_SPEND = """
+WITH o AS (
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           epoch_us(o_orderdate) AS ous,
+           cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS cents
+    FROM orders
+)
+SELECT custkey, orderkey,
+       cast(row_number() OVER w AS integer) AS order_seq,
+       round(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) / 100.0, 2) AS cum_spend,
+       round(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             / (count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                * 100.0), 2) AS trailing3_avg
+FROM o
+WINDOW w AS (PARTITION BY custkey ORDER BY ous, orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3629,6 +3794,9 @@ QUERIES = {
     "kg_entity_resolution": q_kg_entity_resolution,
     "kg_triangles": q_kg_triangles,
     "text_weighted_sample": q_text_weighted_sample,
+    "text_inverted_index": q_text_inverted_index,
+    "kg_label_propagation": q_kg_label_propagation,
+    "rel_rolling_spend": q_rel_rolling_spend,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3715,6 +3883,9 @@ ORACLE_SQL = {
     "kg_entity_resolution": SQL_KG_ENTITY_RESOLUTION,
     "kg_triangles": SQL_KG_TRIANGLES,
     "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
+    "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
+    "kg_label_propagation": SQL_KG_LABEL_PROPAGATION,
+    "rel_rolling_spend": SQL_REL_ROLLING_SPEND,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

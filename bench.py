@@ -314,6 +314,16 @@ def main() -> None:
     Q.QUERIES["kg_tag_mentions_dp"](spark, sf_dir).count()
     qtimes = time_queries(HEADLINE, spark, sf_dir)
 
+    # FRESH session for the sf1 + chain sections: after ~60 headline
+    # executions the driver heap holds broadcast relations whose async
+    # cleanup (ContextCleaner) lags the bench's fire rate — observed as a
+    # spurious "Not enough memory to build and broadcast" inside the sf1
+    # loop that never reproduces in a fresh session. Real deployments
+    # don't run 100 unrelated queries through one driver; the bench
+    # shouldn't either.
+    spark.stop()
+    spark = get_spark("bench-sf1", cores=cpus, shuffle_partitions=cpus)
+
     # sf1 section (10x the gate scale); SPARK_GRAFT_SF1=0 skips
     sf1 = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":

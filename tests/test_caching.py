@@ -21,6 +21,7 @@ PERSIST_BEARING = [
     "dedup_simhash_pairs",     # shared signature relation
     "kg_pagerank",             # persisted symmetric edge list
     "kg_triangles",            # persisted oriented edge list
+    "kg_label_propagation",    # persisted symmetric edge list
 ]
 
 

@@ -158,6 +158,57 @@ def test_entity_resolution_requires_shared_token(spark):
         assert r.dist <= 6
 
 
+def test_inverted_index_counts_consistent(spark):
+    from autoner_spark.queries import QUERIES, load
+
+    idx = {r.term: r for r in
+           QUERIES["text_inverted_index"](spark, SF).collect()}
+    docs = [(r.doc_id, r.text.split(" "))
+            for r in load(spark, SF, "documents").collect()]
+    # recount one mid-frequency term by hand
+    term = sorted(idx, key=lambda t: idx[t].df)[len(idx) // 2]
+    df = sum(1 for _, toks in docs if term in toks)
+    tf = sum(toks.count(term) for _, toks in docs)
+    assert idx[term].df == df and idx[term].total_tf == tf
+    heads = idx[term].postings_head.split(",")
+    assert len(heads) == min(16, df)
+    assert heads == sorted(heads, key=int)
+
+
+def test_label_propagation_separates_disjoint_cliques(spark, monkeypatch):
+    # two DISJOINT 3-cliques: after 2 deterministic min-tie-break rounds
+    # each clique converges to its own minimum member's label. (A bridge
+    # edge would let the lexicographically smaller clique's labels invade
+    # — correct LPA-with-min-tie-break behavior, not separation.)
+    from autoner_spark import queries as Q
+
+    edges = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+             ("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+    fake = spark.createDataFrame(edges, "surface_a string, surface_b string")
+    monkeypatch.setattr(Q, "q_kg_cooccurrence", lambda s, sf: fake)
+    out = {r.node: r.label
+           for r in Q.q_kg_label_propagation(spark, SF).collect()}
+    assert out == {"a1": "a1", "a2": "a1", "a3": "a1",
+                   "b1": "b1", "b2": "b1", "b3": "b1"}
+
+
+def test_rolling_spend_frames(spark):
+    from autoner_spark.queries import QUERIES
+
+    rows = QUERIES["rel_rolling_spend"](spark, SF).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: r.order_seq)
+        assert [r.order_seq for r in rs] == list(range(1, len(rs) + 1))
+        # cumulative sum is monotone in nonnegative spend and the first
+        # row's trailing average equals its own spend
+        assert rs[0].trailing3_avg == rs[0].cum_spend
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_spend >= a.cum_spend - 1e-9
+
+
 def test_weighted_sample_prefers_longer_docs(spark):
     # ES sampling: expected inclusion prob ∝ weight. With one doc 50x
     # heavier than the rest, it must land in the top-20 of 200.
