@@ -3739,9 +3739,12 @@ def q_rel_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "orderkey",
         F.row_number().over(win).cast("int").alias("order_seq"),
         F.round(F.sum("cents").over(cum) / 100.0, 2).alias("cum_spend"),
+        # sum/(count*100.0), structurally identical to the SQL twin: a
+        # two-step (sum/count)/100.0 rounds twice and can differ in the
+        # last ulp from the twin's single division
         F.round(
-            (F.sum("cents").over(trail)
-             / F.count("*").over(trail) / 100.0), 2
+            F.sum("cents").over(trail)
+            / (F.count("*").over(trail) * F.lit(100.0)), 2
         ).alias("trailing3_avg"),
     )
 
@@ -3762,6 +3765,106 @@ SELECT custkey, orderkey,
                 * 100.0), 2) AS trailing3_avg
 FROM o
 WINDOW w AS (PARTITION BY custkey ORDER BY ous, orderkey)
+"""
+
+
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy (mean token surprisal in nats)
+    against the corpus's own unigram distribution — the CCNet-style
+    LM-based quality signal: boilerplate scores low, rare-token noise
+    scores high. The unigram model is vocabulary-bounded (broadcast);
+    the corpus streams once to build it and once to score — at 100 TB
+    the model side stays a dictionary-sized table. Scoring is one
+    broadcast join + an algebraic per-doc mean (map-side combined).
+    Output rounded to 6dp (ln precedent: rel_lpc_distinct)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = persist_tracked(
+        d.select("doc_id", F.explode(F.split(F.col("text"), " "))
+                 .alias("tok"))
+    )
+    total = toks.agg(F.count("*").cast("long").alias("n_total"))
+    uni = (
+        toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_tok"))
+        .crossJoin(F.broadcast(total))
+    )
+    lp = F.log(F.col("n_tok") / F.col("n_total"))
+    model = uni.select("tok", lp.alias("logp"))
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(-F.avg("logp"), 6).alias("surprisal_nats"),
+        )
+    )
+
+
+SQL_TEXT_UNIGRAM_SURPRISAL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+total AS (SELECT cast(count(*) AS bigint) AS n_total FROM toks),
+model AS (
+    SELECT tok, ln(count(*) / (SELECT n_total FROM total)) AS logp
+    FROM toks GROUP BY tok
+)
+SELECT t.doc_id, cast(count(*) AS integer) AS n_tokens,
+       round(-avg(m.logp), 6) AS surprisal_nats
+FROM toks t JOIN model m USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+def q_rel_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (10-minute windows sliding every 5):
+    the batch twin of the streaming windowed aggregate — each event lands
+    in exactly window_len/hop consecutive windows, enumerated in-row with
+    sequence+explode (bounded 2x fan-out, no self-join, one shuffle on
+    the window key). Value totals as scaled-integer cents (the
+    rel_time_rollup discipline)."""
+    win_us = 600 * 1_000_000
+    hop_us = 300 * 1_000_000
+    e = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+    )
+    # window starts covering tus: the hop multiples in
+    # (tus - win, tus] -> exactly win/hop = 2 consecutive hops
+    first = (F.floor((F.col("tus") - win_us) / hop_us) + 1).cast("long")
+    last = F.floor(F.col("tus") / hop_us).cast("long")
+    return (
+        e.select(
+            "event_type", "cents",
+            F.explode(F.sequence(first, last)).alias("hop"),
+        )
+        .groupBy((F.col("hop") * hop_us).alias("window_start_us"),
+                 "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+        )
+    )
+
+
+SQL_REL_EVENTS_HOPPING = """
+WITH e AS (
+    SELECT epoch_us(ts) AS tus, event_type,
+           cast(floor(value * 100 + 0.5) AS bigint) AS cents
+    FROM events
+),
+hops AS (
+    SELECT event_type, cents,
+           unnest(range(cast(floor((tus - 600000000) / 300000000) + 1 AS bigint),
+                        cast(floor(tus / 300000000) AS bigint) + 1)) AS hop
+    FROM e
+)
+SELECT hop * 300000000 AS window_start_us, event_type,
+       cast(count(*) AS bigint) AS n_events,
+       round(sum(cents) / 100.0, 2) AS total_value
+FROM hops
+GROUP BY 1, 2
 """
 
 
@@ -3797,6 +3900,8 @@ QUERIES = {
     "text_inverted_index": q_text_inverted_index,
     "kg_label_propagation": q_kg_label_propagation,
     "rel_rolling_spend": q_rel_rolling_spend,
+    "text_unigram_surprisal": q_text_unigram_surprisal,
+    "rel_events_hopping": q_rel_events_hopping,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3886,6 +3991,8 @@ ORACLE_SQL = {
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     "kg_label_propagation": SQL_KG_LABEL_PROPAGATION,
     "rel_rolling_spend": SQL_REL_ROLLING_SPEND,
+    "text_unigram_surprisal": SQL_TEXT_UNIGRAM_SURPRISAL,
+    "rel_events_hopping": SQL_REL_EVENTS_HOPPING,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

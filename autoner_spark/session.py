@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Long-running-driver hygiene: ContextCleaner frees finished
+        # broadcast/shuffle blocks only when the JVM garbage-collects, and
+        # a large heap can go WAY past the default 30min periodic-GC
+        # interval without one — observed here as "Not enough memory to
+        # build and broadcast" after ~60 back-to-back queries in one
+        # driver. 1min keeps the memory store bounded by live state; the
+        # same setting a production always-on Spark driver runs with.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

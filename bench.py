@@ -165,13 +165,21 @@ def time_queries(names, spark, sf_dir, runs: int = 3) -> dict[str, float]:
     from autoner_spark.caching import release_caches
 
     times: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(runs):
+    for rep in range(runs):
         for name in names:
             release_caches()
             spark.catalog.clearCache()
+            # force the JVM GC that lets ContextCleaner actually free the
+            # previous queries' broadcast blocks (outside the timed
+            # window; without it ~60 queries in one driver exhaust the
+            # 8g heap — see session.py periodicGC note)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             Q.QUERIES[name](spark, sf_dir).count()
-            times[name].append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            times[name].append(dt)
+            print(f"bench: rep{rep} {name} {dt:.2f}s", file=sys.stderr,
+                  flush=True)
     release_caches()
     spark.catalog.clearCache()
     return {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in times.items()}

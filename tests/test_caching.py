@@ -22,6 +22,7 @@ PERSIST_BEARING = [
     "kg_pagerank",             # persisted symmetric edge list
     "kg_triangles",            # persisted oriented edge list
     "kg_label_propagation",    # persisted symmetric edge list
+    "text_unigram_surprisal",  # persisted token stream (model + scoring)
 ]
 
 

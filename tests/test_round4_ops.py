@@ -209,6 +209,39 @@ def test_rolling_spend_frames(spark):
             assert b.cum_spend >= a.cum_spend - 1e-9
 
 
+def test_hopping_windows_double_count_exactly(spark):
+    # win=2*hop: every event lands in exactly 2 windows, so total
+    # windowed event mass is exactly 2x the raw count
+    from autoner_spark.queries import QUERIES, load
+
+    raw = load(spark, SF, "events").count()
+    agg = QUERIES["rel_events_hopping"](spark, SF)
+    assert agg.agg(F.sum("n_events")).collect()[0][0] == 2 * raw
+    # window starts are hop-aligned
+    assert agg.filter(F.col("window_start_us") % 300000000 != 0).count() == 0
+
+
+def test_unigram_surprisal_uniform_corpus_is_ln_vocab(spark):
+    # every doc drawn uniformly from a 4-word vocab -> per-token logp =
+    # ln(1/4) exactly, so every doc's mean surprisal is ln(4)
+    import math
+    import os
+    import tempfile
+
+    from autoner_spark import queries as Q
+
+    docs = [(i, " ".join("abcd"[(i + j) % 4] for j in range(8)))
+            for i in range(16)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = Q.QUERIES["text_unigram_surprisal"](spark, td).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r.n_tokens == 8
+        assert abs(r.surprisal_nats - math.log(4)) < 1e-5
+
+
 def test_weighted_sample_prefers_longer_docs(spark):
     # ES sampling: expected inclusion prob ∝ weight. With one doc 50x
     # heavier than the rest, it must land in the top-20 of 200.
