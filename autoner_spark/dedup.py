@@ -152,9 +152,15 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # SHUFFLE_HASH, not broadcast: Catalyst's static sizeInBytes for the
+    # `inter` relation derives from tiny persisted-lineage stats, so the
+    # planner tried to BROADCAST the candidate-pair side — sum(df^2)-sized
+    # on a boilerplate-heavy corpus (observed driver OOM at 10x gate
+    # scale), unbounded at 100 TB. The scale-correct plan shuffles on the
+    # id key and hash-builds the bounded per-partition sizes side.
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -395,9 +401,14 @@ def simhash_hamming_pairs(
     )
     sa = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    # shuffle-hash verify joins: both sides grow with the corpus (the
+    # signature relation is corpus-sized; the candidate set grows with
+    # bucket count), so neither may be pinned as a static broadcast by
+    # Catalyst's derived estimates — same defect class as the jaccard
+    # sizes join (see ngram_jaccard_pairs)
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
@@ -494,17 +505,27 @@ def minhash_verified_pairs(
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # shuffle-hash: candidate pairs grow with the corpus (bucket count x
+    # capped pair fan-out) — a static broadcast pinned by derived stats
+    # would eventually OOM the driver; shuffling on id keys is the plan
+    # that survives 100 TB (same defect class as the jaccard sizes join)
     inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        cand.hint("shuffle_hash").join(a, "id_a")
+        .join(b.hint("shuffle_hash"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # SHUFFLE_HASH, not broadcast: Catalyst's static sizeInBytes for the
+    # `inter` relation derives from tiny persisted-lineage stats, so the
+    # planner tried to BROADCAST the candidate-pair side — sum(df^2)-sized
+    # on a boilerplate-heavy corpus (observed driver OOM at 10x gate
+    # scale), unbounded at 100 TB. The scale-correct plan shuffles on the
+    # id key and hash-builds the bounded per-partition sizes side.
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn(
             "jaccard",
             F.round(

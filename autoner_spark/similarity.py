@@ -468,7 +468,14 @@ def embedding_lsh_pairs(
     )
     a = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qvec"))
     b = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("embedding"))
-    verified = with_cosine(cand.join(a, "id_a").join(b, "id_b"))
+    # shuffle-hash verify joins: candidates grow with bucket count and the
+    # embedding relation is corpus-sized — neither side may be pinned as a
+    # static broadcast by Catalyst's derived estimates (same defect class
+    # as dedup.ngram_jaccard_pairs' sizes join)
+    verified = with_cosine(
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+    )
     return (
         verified.filter(F.round(F.col("cosine"), 6) >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

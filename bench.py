@@ -20,6 +20,15 @@ import os
 import sys
 import time
 
+# The bench pushes ~150 query executions through one JVM, and the sf1
+# ngram-jaccard broadcast build alone peaks near the 8g default heap
+# (observed: "Not enough memory to build and broadcast" with ANY residual
+# garbage, while a cold 8g heap barely fits it). 16g on a 128 GiB box
+# keeps the measurements about the queries, not the heap ceiling. Must be
+# set before the first get_spark launches the JVM; explicit
+# SPARK_DRIVER_MEM still wins.
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from autoner_spark import queries as Q  # noqa: E402
@@ -311,42 +320,72 @@ def tag_run(cores: int, corpus_path: str, trie, runs: int = 3) -> float:
         spark.stop()
 
 
+def sf1_main(sf_dir: str, cpus: int) -> None:
+    """Subprocess entry (`python bench.py --sf1-only`): the sf1 section in
+    its own JVM. The sf1 ngram-jaccard rep deterministically dies with
+    "Not enough memory to build and broadcast" when it follows the ~60
+    headline executions in the SAME JVM — at 8g AND 16g heaps, with
+    per-query System.gc(), with a fresh SparkSession (same JVM) — yet the
+    identical 3-rep loop passes every time in a virgin process. Process
+    isolation is the fix that matches the evidence, and it is the honest
+    measurement anyway: each section measured from a cold driver."""
+    spark = get_spark("bench-sf1", cores=cpus, shuffle_partitions=cpus)
+    sf1_dir = materialize_sf1(spark, sf_dir)
+    out = {
+        "factor": SF1_FACTOR,
+        "base_sf": _sf_from_dir(sf_dir),
+        # runs must stay ODD: sorted(ts)[len//2] of 2 runs is the MAX,
+        # not a median, silently biasing sf1 vs the 3-run sf0.1 numbers
+        "queries": time_queries(SF1_QUERIES, spark, sf1_dir, runs=3),
+        "drop_stats": {
+            name: Q.QUERIES[name](spark, sf1_dir).first().asDict()
+            for name in SF1_DROP_STATS
+        },
+    }
+    spark.stop()
+    print("SF1_JSON:" + json.dumps(out))
+
+
+def run_sf1_subprocess(sf_dir: str, cpus: int) -> dict:
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--sf1-only"],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_CPUS": str(cpus)},
+        check=True,
+    )
+    print(res.stderr[-4000:], file=sys.stderr, flush=True)
+    for line in res.stdout.splitlines():
+        if line.startswith("SF1_JSON:"):
+            return json.loads(line[len("SF1_JSON:"):])
+    raise RuntimeError(f"no SF1_JSON from subprocess: {res.stdout[-500:]}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf1-only":
+        sf1_main(sf_dir, cpus)
+        return
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     # session warmup so the first headline query isn't charged JVM/worker
     # startup
     Q.QUERIES["kg_tag_mentions_dp"](spark, sf_dir).count()
     qtimes = time_queries(HEADLINE, spark, sf_dir)
-
-    # FRESH session for the sf1 + chain sections: after ~60 headline
-    # executions the driver heap holds broadcast relations whose async
-    # cleanup (ContextCleaner) lags the bench's fire rate — observed as a
-    # spurious "Not enough memory to build and broadcast" inside the sf1
-    # loop that never reproduces in a fresh session. Real deployments
-    # don't run 100 unrelated queries through one driver; the bench
-    # shouldn't either.
     spark.stop()
-    spark = get_spark("bench-sf1", cores=cpus, shuffle_partitions=cpus)
 
-    # sf1 section (10x the gate scale); SPARK_GRAFT_SF1=0 skips
+    # sf1 section (10x the gate scale) in ITS OWN PROCESS (see sf1_main);
+    # SPARK_GRAFT_SF1=0 skips
     sf1 = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        sf1_dir = materialize_sf1(spark, sf_dir)
-        sf1 = {
-            "factor": SF1_FACTOR,
-            "base_sf": sf,
-            # runs must stay ODD: sorted(ts)[len//2] of 2 runs is the MAX,
-            # not a median, silently biasing sf1 vs the 3-run sf0.1 numbers
-            "queries": time_queries(SF1_QUERIES, spark, sf1_dir, runs=3),
-            "drop_stats": {
-                name: Q.QUERIES[name](spark, sf1_dir).first().asDict()
-                for name in SF1_DROP_STATS
-            },
-        }
+        sf1 = run_sf1_subprocess(sf_dir, cpus)
+
+    spark = get_spark("bench-chain", cores=cpus, shuffle_partitions=cpus)
 
     # --- scaling corpus (built once, deterministic; the path encodes the
     # generation parameters so a stale cache is never silently reused) ---
