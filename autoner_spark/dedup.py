@@ -43,6 +43,38 @@ def _cap_group_size(df: DataFrame, keys: list[str], cap: int | None,
     return out.filter(cond).drop("_gn")
 
 
+def _bucket_pairs(
+    rows: DataFrame,
+    keys: list[str],
+    member: str | Column,
+    max_bucket_size: int | None,
+    id_field: str | None = None,
+) -> DataFrame:
+    """(a, b): canonically-ordered in-bucket member pairs, produced WITHOUT
+    a self-join — the shared core of every LSH-family pair generator
+    (minhash bands, incremental minhash, simhash blocks, sign-LSH bands).
+
+    ``rows`` carries one row per (bucket-key, member); ``keys`` is the
+    bucket key; ``member`` the collected value (a column name or struct
+    expression); ``id_field`` the struct field used for the a < b
+    canonical ordering (the member itself when None). The skew cap runs
+    BEFORE collect_list (window count over the same keys — WindowExec
+    spills, collect_list cannot), so an oversized boilerplate bucket is
+    dropped whole without ever materializing its member array, and the
+    downstream groupBy reuses the window's partitioning (one shuffle)."""
+    kept = _cap_group_size(rows, keys, max_bucket_size, min_size=2)
+    buckets = kept.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(member)).alias("ms")
+    )
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), F.col("ms"))
+        .select("a", F.explode("ms").alias("b"))
+    )
+    ka = F.col(f"a.{id_field}") if id_field else F.col("a")
+    kb = F.col(f"b.{id_field}") if id_field else F.col("b")
+    return pairs.filter(ka < kb)
+
+
 def group_drop_stats(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """(n_dropped_groups, n_dropped_rows): observability for a group-size
     skew cap — how many groups (and member rows) the cap discarded. Run on
@@ -239,19 +271,10 @@ def minhash_lsh_pairs(
     groupBy(band, bucket) for membership, groupBy(id_a, id_b) for the band
     count. No self-join, no distinct, one md5 per shingle occurrence."""
     banded = _minhash_banded(docs, num_hashes, band_size, n, id_col, text_col)
-    # pre-collect skew cap: the count runs as a window (spills), so a giant
-    # boilerplate bucket never materializes as one collect_list array
-    kept = _cap_group_size(banded, ["band", "bucket"], max_bucket_size,
-                           min_size=2)
-    buckets = kept.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    )
-    pairs = (
-        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
+    pairs = _bucket_pairs(banded, ["band", "bucket"], "id", max_bucket_size)
+    return pairs.groupBy(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    ).agg(F.count("*").alias("n_bands"))
 
 
 def _minhash_banded(
@@ -388,15 +411,9 @@ def simhash_hamming_pairs(
     blocks = sig.select(
         "id", F.explode(F.array(*block_structs)).alias("bb")
     ).select("id", F.col("bb.b").alias("b"), F.col("bb.block").alias("block"))
-    kept = _cap_group_size(blocks, ["b", "block"], max_bucket_size,
-                           min_size=2)
-    grouped = kept.groupBy("b", "block").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    )
     cand = (
-        grouped.select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(blocks, ["b", "block"], "id", max_bucket_size)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
     sa = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
@@ -454,19 +471,10 @@ def incremental_minhash_pairs(
                             text_col).withColumn("new", F.lit(1))
         )
     )
-    kept = _cap_group_size(banded, ["band", "bucket"], max_bucket_size,
-                           min_size=2)
-    buckets = kept.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(F.struct("id", "new"))).alias("ms")
-    )
-    pairs = (
-        buckets.select(F.explode("ms").alias("a"), F.col("ms"))
-        .select("a", F.explode("ms").alias("b"))
-        .filter(
-            (F.col("a.id") < F.col("b.id"))
-            & ((F.col("a.new") == 1) | (F.col("b.new") == 1))
-        )
-    )
+    pairs = _bucket_pairs(
+        banded, ["band", "bucket"], F.struct("id", "new"), max_bucket_size,
+        id_field="id",
+    ).filter((F.col("a.new") == 1) | (F.col("b.new") == 1))
     return pairs.groupBy(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
     ).agg(

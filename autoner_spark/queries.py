@@ -1230,7 +1230,9 @@ def q_rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     position set (bounded by m — tiny, broadcastable), a probe key passes
     iff all k positions are occupied, and the one-row output exposes the
     measured false-positive count next to the true semi-join count, so
-    the filter's selectivity is auditable."""
+    the filter's selectivity is auditable. The three small relations
+    (keys, occupied positions, distinct probes) are persisted — each has
+    multiple consumers across the audit aggregates."""
     m, k = 8192, 4
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -1248,13 +1250,21 @@ def q_rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(k)
         ]
 
-    keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
-    occupied = (
+    # keys feeds occupied + the truth semi-join; occupied feeds the probe
+    # join + its own count; probes feeds three consumers — persist all
+    # three (each is bounded: distinct keys, <= m positions, distinct
+    # probe keys) so the audit aggregates don't rescan the base tables
+    keys = persist_tracked(
+        cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    )
+    occupied = persist_tracked(
         keys.select(F.explode(F.array(*positions(F.col("c_custkey"))))
                     .alias("pos"))
         .distinct()
     )
-    probes = orders.select(F.col("o_custkey").alias("key")).distinct()
+    probes = persist_tracked(
+        orders.select(F.col("o_custkey").alias("key")).distinct()
+    )
     hits = (
         probes.select("key", F.explode(F.array(*positions(F.col("key"))))
                       .alias("pos"))
@@ -3087,9 +3097,12 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term filter prunes the exploded token stream BEFORE the first
     shuffle (only query-term postings survive), the per-term df relation
     is vocabulary-bounded (broadcast), and corpus stats (N, avgdl) are a
-    single broadcast row — the corpus streams once. Scores are rounded to
-    6dp BEFORE the top-k ordering so both engines pick the same 20 docs
-    (tie-break doc_id)."""
+    single broadcast row. The corpus streams twice — once for the stats
+    aggregate (no explode, map-side combined) and once for the postings —
+    and the tiny surviving tf relation is PERSISTED for its two consumers
+    (df build + scoring probe) so the tokenize/explode lineage runs
+    exactly once. Scores are rounded to 6dp BEFORE the top-k ordering so
+    both engines pick the same 20 docs (tie-break doc_id)."""
     k1, b = 1.2, 0.75
     terms = ["join", "scan", "filter"]
     d = load_parallel(spark, sf_dir, "documents").select(
@@ -3100,7 +3113,7 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = (
+    tf = persist_tracked(
         dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(terms))
         .groupBy("doc_id", "dl", "tok")

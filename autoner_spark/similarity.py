@@ -419,9 +419,17 @@ def embedding_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     signature: str = "arrow",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine): near-duplicate vectors via sign-LSH candidates
     + exact cosine verification — the SCALE path for embedding dedup.
+
+    ``dim``: forwarded to the Arrow signature stage. Leave ``None`` on a
+    single-source corpus (width inferred lazily per task, raggedness
+    caught when two widths meet inside one task); PASS IT on mixed-source
+    corpora, where per-task-consistent files of different widths would
+    otherwise each hash with their own hyperplane matrix and silently
+    produce cross-width garbage candidates.
 
     Sign-identical vectors (exact duplicates, rescaled copies — the common
     real-world case of the same content embedded twice) collide in EVERY
@@ -438,8 +446,6 @@ def embedding_lsh_pairs(
     keeping 13.6% of all candidate pairs), so the exhaustive scan is the
     correct exact plan there; LSH is the right plan where near-duplicate
     semantics actually hold (threshold >= ~0.9)."""
-    from .dedup import _cap_group_size
-
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
@@ -447,23 +453,20 @@ def embedding_lsh_pairs(
     # measured ~2x faster, see BENCH.md); "join": the pure-relational form
     # (bit-identical output, pinned by pytest)
     if signature == "arrow":
-        bucketed = lsh_band_buckets_arrow(base, bits_per_band, n_bands)
+        bucketed = lsh_band_buckets_arrow(base, bits_per_band, n_bands,
+                                          dim=dim)
     elif signature == "join":
         bucketed = lsh_band_buckets(base, bits_per_band, n_bands)
     else:
         raise ValueError(f"unknown signature impl: {signature!r}")
-    # pre-collect skew cap (window count + filter): an oversized bucket
-    # spills through WindowExec and is dropped before collect_list would
-    # materialize it as one array row; lsh_drop_stats reports the discards
-    kept = _cap_group_size(bucketed, ["band", "bucket"], max_bucket_size,
-                           min_size=2)
-    buckets = kept.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("vec_id")).alias("ids")
-    )
+    # shared LSH pair-explosion core (skew cap BEFORE collect_list;
+    # lsh_drop_stats reports the discards)
+    from .dedup import _bucket_pairs
+
     cand = (
-        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(bucketed, ["band", "bucket"], "vec_id",
+                      max_bucket_size)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
     a = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qvec"))

@@ -354,9 +354,16 @@ def run_sf1_subprocess(sf_dir: str, cpus: int) -> dict:
         capture_output=True, text=True,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
              "SPARK_GRAFT_CPUS": str(cpus)},
-        check=True,
     )
+    # relay the child's stderr BEFORE failing on its exit code — with
+    # check=True the captured diagnostics would be discarded exactly when
+    # they matter (the child died)
     print(res.stderr[-4000:], file=sys.stderr, flush=True)
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"sf1 subprocess failed with exit {res.returncode}; its stderr "
+            f"tail is above"
+        )
     for line in res.stdout.splitlines():
         if line.startswith("SF1_JSON:"):
             return json.loads(line[len("SF1_JSON:"):])

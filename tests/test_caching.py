@@ -23,6 +23,8 @@ PERSIST_BEARING = [
     "kg_triangles",            # persisted oriented edge list
     "kg_label_propagation",    # persisted symmetric edge list
     "text_unigram_surprisal",  # persisted token stream (model + scoring)
+    "text_bm25_topk",          # persisted query-term postings (tf)
+    "rel_bloom_semijoin",      # persisted keys/occupied/probes relations
 ]
 
 
