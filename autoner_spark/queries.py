@@ -3881,6 +3881,128 @@ GROUP BY 1, 2
 """
 
 
+def q_rel_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint audit (the dbt-test /
+    Deequ-style gate a pipeline runs before publishing a table): one row
+    per constraint with its violation count — key uniqueness, not-null,
+    referential integrity (orders.custkey -> customer), domain membership
+    (order status in its enum), and a range rule (non-negative price).
+    Each check is an independent aggregate over one scan (the FK check is
+    a broadcast-able anti-join); a real deployment unions exactly this
+    shape per table. Integer-exact everywhere."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    dup_keys = (
+        o.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("v"))
+        .select(F.lit("orders.o_orderkey unique").alias("constraint"), "v")
+    )
+    null_cust = o.agg(
+        F.count_if(F.col("o_custkey").isNull()).cast("long").alias("v")
+    ).select(F.lit("orders.o_custkey not_null").alias("constraint"), "v")
+    fk = (
+        o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"],
+               "left_anti")
+        .agg(F.count("*").cast("long").alias("v"))
+        .select(F.lit("orders.o_custkey -> customer.c_custkey").alias(
+            "constraint"), "v")
+    )
+    domain = o.agg(
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P"))
+        .cast("long").alias("v")
+    ).select(F.lit("orders.o_orderstatus in (O,F,P)").alias("constraint"),
+             "v")
+    rng = o.agg(
+        F.count_if(F.col("o_totalprice") < 0).cast("long").alias("v")
+    ).select(F.lit("orders.o_totalprice >= 0").alias("constraint"), "v")
+    return (
+        dup_keys.unionByName(null_cust).unionByName(fk)
+        .unionByName(domain).unionByName(rng)
+        .select("constraint", F.col("v").alias("violations"))
+    )
+
+
+SQL_REL_CONSTRAINT_CHECK = """
+SELECT 'orders.o_orderkey unique' AS constraint,
+       cast(coalesce(sum(n), 0) AS bigint) AS violations
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders.o_custkey not_null',
+       cast(count(*) FILTER (WHERE o_custkey IS NULL) AS bigint)
+FROM orders
+UNION ALL
+SELECT 'orders.o_custkey -> customer.c_custkey',
+       cast(count(*) AS bigint)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'orders.o_orderstatus in (O,F,P)',
+       cast(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+            AS bigint)
+FROM orders
+UNION ALL
+SELECT 'orders.o_totalprice >= 0',
+       cast(count(*) FILTER (WHERE o_totalprice < 0) AS bigint)
+FROM orders
+"""
+
+
+def q_rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiling (the schema-audit summary a catalog
+    shows): per profiled orders column — row count, null count, distinct
+    count, and min/max rendered as strings so heterogeneous column types
+    share one schema. One scan, every measure an algebraic/map-side
+    aggregate; distinct counts are per-column exact here, with
+    rel_lpc_distinct as the bounded-sketch alternative at extreme
+    cardinality."""
+    o = load(spark, sf_dir, "orders")
+
+    def prof(colname):
+        col = F.col(colname)
+        return o.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_if(col.isNull()).cast("long").alias("n_null"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_str"),
+            F.max(col).cast("string").alias("max_str"),
+        ).select(F.lit(colname).alias("column"), "n_rows", "n_null",
+                 "n_distinct", "min_str", "max_str")
+
+    out = prof("o_orderkey")
+    for name in ("o_custkey", "o_orderstatus", "o_orderpriority"):
+        out = out.unionByName(prof(name))
+    return out
+
+
+SQL_REL_PROFILE_COLUMNS = """
+SELECT 'o_orderkey' AS "column", cast(count(*) AS bigint) AS n_rows,
+       cast(count(*) FILTER (WHERE o_orderkey IS NULL) AS bigint) AS n_null,
+       cast(count(DISTINCT o_orderkey) AS bigint) AS n_distinct,
+       cast(min(o_orderkey) AS varchar) AS min_str,
+       cast(max(o_orderkey) AS varchar) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', cast(count(*) AS bigint),
+       cast(count(*) FILTER (WHERE o_custkey IS NULL) AS bigint),
+       cast(count(DISTINCT o_custkey) AS bigint),
+       cast(min(o_custkey) AS varchar), cast(max(o_custkey) AS varchar)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', cast(count(*) AS bigint),
+       cast(count(*) FILTER (WHERE o_orderstatus IS NULL) AS bigint),
+       cast(count(DISTINCT o_orderstatus) AS bigint),
+       cast(min(o_orderstatus) AS varchar), cast(max(o_orderstatus) AS varchar)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', cast(count(*) AS bigint),
+       cast(count(*) FILTER (WHERE o_orderpriority IS NULL) AS bigint),
+       cast(count(DISTINCT o_orderpriority) AS bigint),
+       cast(min(o_orderpriority) AS varchar), cast(max(o_orderpriority) AS varchar)
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3915,6 +4037,8 @@ QUERIES = {
     "rel_rolling_spend": q_rel_rolling_spend,
     "text_unigram_surprisal": q_text_unigram_surprisal,
     "rel_events_hopping": q_rel_events_hopping,
+    "rel_constraint_check": q_rel_constraint_check,
+    "rel_profile_columns": q_rel_profile_columns,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -4006,6 +4130,8 @@ ORACLE_SQL = {
     "rel_rolling_spend": SQL_REL_ROLLING_SPEND,
     "text_unigram_surprisal": SQL_TEXT_UNIGRAM_SURPRISAL,
     "rel_events_hopping": SQL_REL_EVENTS_HOPPING,
+    "rel_constraint_check": SQL_REL_CONSTRAINT_CHECK,
+    "rel_profile_columns": SQL_REL_PROFILE_COLUMNS,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

@@ -103,6 +103,9 @@ SF1_QUERIES = [
     "rel_events_asof",
     "rel_events_range_join",
     "rel_time_rollup",
+    # round-4 additions that read only sf1-materialized tables
+    "text_bm25_topk",
+    "text_inverted_index",
 ]
 # drop-stat observability recorded (values, not timings) next to the sf1
 # numbers for the capped dedup operators
