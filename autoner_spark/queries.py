@@ -1641,6 +1641,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.5, max_shingle_df=1000)
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (AllPairs/PPJoin prefix): same output
+    as dedup_ngram_jaccard — it SHARES that query's DuckDB twin, so the
+    gate pins the prefix optimization as lossless — at a candidate cost of
+    rare-prefix collisions instead of the full sum(df^2) explosion."""
+    from .dedup import ngram_jaccard_prefix_pairs
+
+    return ngram_jaccard_prefix_pairs(
+        load_parallel(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_df=1000,
+    )
+
+
 SQL_DEDUP_NGRAM_JACCARD = """
 WITH toks AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -4039,6 +4052,7 @@ QUERIES = {
     "rel_events_hopping": q_rel_events_hopping,
     "rel_constraint_check": q_rel_constraint_check,
     "rel_profile_columns": q_rel_profile_columns,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -4132,6 +4146,8 @@ ORACLE_SQL = {
     "rel_events_hopping": SQL_REL_EVENTS_HOPPING,
     "rel_constraint_check": SQL_REL_CONSTRAINT_CHECK,
     "rel_profile_columns": SQL_REL_PROFILE_COLUMNS,
+    # shares the plain jaccard twin: identical-output contract is the gate
+    "dedup_jaccard_prefix": SQL_DEDUP_NGRAM_JACCARD,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

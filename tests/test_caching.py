@@ -25,6 +25,7 @@ PERSIST_BEARING = [
     "text_unigram_surprisal",  # persisted token stream (model + scoring)
     "text_bm25_topk",          # persisted query-term postings (tf)
     "rel_bloom_semijoin",      # persisted keys/occupied/probes relations
+    "dedup_jaccard_prefix",    # persisted capped shingle relation
 ]
 
 

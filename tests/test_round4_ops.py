@@ -242,6 +242,26 @@ def test_unigram_surprisal_uniform_corpus_is_ln_vocab(spark):
         assert abs(r.surprisal_nats - math.log(4)) < 1e-5
 
 
+def test_prefix_jaccard_equals_plain_jaccard(spark):
+    # the AllPairs prefix filter must be lossless: identical pair set and
+    # jaccard values as the reference formulation, on the corpus fixture
+    # AND at a permissive threshold where prefixes get long
+    from autoner_spark.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+    from autoner_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    for t in (0.5, 0.2):
+        plain = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, threshold=t).collect()}
+        pref = {(r.id_a, r.id_b): r.jaccard
+                for r in ngram_jaccard_prefix_pairs(
+                    docs, threshold=t).collect()}
+        assert pref == plain and plain
+
+
 def test_weighted_sample_prefers_longer_docs(spark):
     # ES sampling: expected inclusion prob ∝ weight. With one doc 50x
     # heavier than the rest, it must land in the top-20 of 200.
