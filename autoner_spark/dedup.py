@@ -75,6 +75,46 @@ def _bucket_pairs(
     return pairs.filter(ka < kb)
 
 
+def _verify_exact_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, jaccard): exact-Jaccard verification of candidate
+    pairs against the (id, shingle) relation — the shared verify tail of
+    ``minhash_verified_pairs`` and ``ngram_jaccard_prefix_pairs``.
+
+    Every join is SHUFFLE_HASH, never broadcast: the candidate-pair and
+    shingle relations both grow with the corpus, and Catalyst's static
+    sizeInBytes (derived from tiny persisted-lineage stats) would happily
+    pin one as a broadcast build — the sum(df^2)-sized driver OOM
+    observed at 10x gate scale. Shuffling on the id keys with bounded
+    per-partition builds is the plan that survives 100 TB."""
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.hint("shuffle_hash").join(a, "id_a")
+        .join(b.hint("shuffle_hash"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def group_drop_stats(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """(n_dropped_groups, n_dropped_rows): observability for a group-size
     skew cap — how many groups (and member rows) the cap discarded. Run on
@@ -331,41 +371,24 @@ def ngram_jaccard_prefix_pairs(
         "id", "shingle", F.row_number().over(w_doc).alias("pos"),
         F.count("*").over(Window.partitionBy("id")).alias("sz"),
     )
-    prefix = with_pos.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
-        + 1
+    # Prefix bound with two FP safety margins, both LENGTHENING the prefix
+    # (recall-safe, never pruning-unsafe): (a) the pair filter below
+    # compares the 6dp-ROUNDED jaccard, so a pair with true J in
+    # [t - 5e-7, t) still passes it — derive the bound from t - 5e-7;
+    # (b) double multiplication can overshoot an exact product
+    # (0.07 * 100 = 7.000000000000001 -> ceil 8 would prune a valid
+    # pair) — subtract 1e-9 before ceil.
+    alpha = F.ceil(
+        F.lit(threshold - 5e-7) * F.col("sz") - F.lit(1e-9)
     )
+    prefix = with_pos.filter(F.col("pos") <= F.col("sz") - alpha + 1)
     cand = (
         _bucket_pairs(prefix.select("shingle", "id"), ["shingle"], "id",
                       None)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.hint("shuffle_hash").join(a, "id_a")
-        .join(b.hint("shuffle_hash"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_exact_jaccard(cand, sh, threshold)
 
 
 def _minhash_banded(
@@ -601,41 +624,7 @@ def minhash_verified_pairs(
     # three consumers (sizes + both join sides) — persist the distinct
     # shingle relation so the tokenize/explode/distinct lineage runs once
     sh = persist_tracked(shingles_df(docs, n, id_col, text_col))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    # shuffle-hash: candidate pairs grow with the corpus (bucket count x
-    # capped pair fan-out) — a static broadcast pinned by derived stats
-    # would eventually OOM the driver; shuffling on id keys is the plan
-    # that survives 100 TB (same defect class as the jaccard sizes join)
-    inter = (
-        cand.hint("shuffle_hash").join(a, "id_a")
-        .join(b.hint("shuffle_hash"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    # SHUFFLE_HASH, not broadcast: Catalyst's static sizeInBytes for the
-    # `inter` relation derives from tiny persisted-lineage stats, so the
-    # planner tried to BROADCAST the candidate-pair side — sum(df^2)-sized
-    # on a boilerplate-heavy corpus (observed driver OOM at 10x gate
-    # scale), unbounded at 100 TB. The scale-correct plan shuffles on the
-    # id key and hash-builds the bounded per-partition sizes side.
-    return (
-        inter.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_exact_jaccard(cand, sh, threshold)
 
 
 def decontaminate(

@@ -3965,27 +3965,34 @@ def q_rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level table profiling (the schema-audit summary a catalog
     shows): per profiled orders column — row count, null count, distinct
     count, and min/max rendered as strings so heterogeneous column types
-    share one schema. One scan, every measure an algebraic/map-side
-    aggregate; distinct counts are per-column exact here, with
-    rel_lpc_distinct as the bounded-sketch alternative at extreme
-    cardinality."""
+    share one schema. ONE scan for all columns: every per-column measure
+    is an aggregate of the same pass (map-side combined; the exact
+    countDistincts expand to one aggregation, not extra scans), and the
+    wide one-row result unpivots with stack(). rel_lpc_distinct is the
+    bounded-sketch alternative at extreme cardinality."""
     o = load(spark, sf_dir, "orders")
-
-    def prof(colname):
-        col = F.col(colname)
-        return o.agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.count_if(col.isNull()).cast("long").alias("n_null"),
-            F.countDistinct(col).cast("long").alias("n_distinct"),
-            F.min(col).cast("string").alias("min_str"),
-            F.max(col).cast("string").alias("max_str"),
-        ).select(F.lit(colname).alias("column"), "n_rows", "n_null",
-                 "n_distinct", "min_str", "max_str")
-
-    out = prof("o_orderkey")
-    for name in ("o_custkey", "o_orderstatus", "o_orderpriority"):
-        out = out.unionByName(prof(name))
-    return out
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count_if(col.isNull()).cast("long").alias(f"{c}__null"),
+            F.countDistinct(col).cast("long").alias(f"{c}__nd"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            f"(`column`, n_null, n_distinct, min_str, max_str)"
+        ),
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_str",
+             "max_str")
 
 
 SQL_REL_PROFILE_COLUMNS = """

@@ -253,7 +253,9 @@ def test_prefix_jaccard_equals_plain_jaccard(spark):
     from autoner_spark.queries import load
 
     docs = load(spark, SF, "documents")
-    for t in (0.5, 0.2):
+    # 0.07 regression-pins the FP prefix bound: 0.07*100 = 7.000...001 in
+    # doubles, so a naive ceil() would over-prune (review finding)
+    for t in (0.5, 0.2, 0.07):
         plain = {(r.id_a, r.id_b): r.jaccard
                  for r in ngram_jaccard_pairs(docs, threshold=t).collect()}
         pref = {(r.id_a, r.id_b): r.jaccard
