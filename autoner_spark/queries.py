@@ -116,8 +116,12 @@ def load_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_parallel(spark, sf_dir, "documents")
+def transcripts_df(spark: SparkSession, sf_dir: str,
+                   docs: DataFrame | None = None) -> DataFrame:
+    """Derive the input_hint transcripts shape from the documents table
+    (or a pre-filtered ``docs`` relation — e.g. run_job's --dedup stage)."""
+    d = docs if docs is not None else load_parallel(spark, sf_dir,
+                                                    "documents")
     conv = F.concat(
         F.lit("conv-"),
         F.lpad(F.floor(F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"), 6, "0"),

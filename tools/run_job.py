@@ -25,6 +25,11 @@ def main() -> None:
                    help="derive transcripts from <sf-dir>/documents.parquet "
                         "instead of synthesizing")
     p.add_argument("--buckets", type=int, default=8)
+    p.add_argument("--dedup", choices=["exact", "minhash"], default=None,
+                   help="pre-stage: drop duplicate documents before "
+                        "deriving transcripts (exact = md5 groupBy keep "
+                        "min id; minhash = near-dup clusters via "
+                        "LSH+verify, keep min id). Requires --sf-dir.")
     args = p.parse_args()
 
     # spark-submit provides the session config (master, --py-files)
@@ -47,11 +52,42 @@ def main() -> None:
         link_mentions,
     )
 
+    n_docs_dropped = 0
     if args.sf_dir:
-        from autoner_spark.queries import kg_dict_spec, transcripts_df
+        from autoner_spark.queries import (
+            kg_dict_spec,
+            load_parallel,
+            transcripts_df,
+        )
 
         spec = kg_dict_spec()
-        transcripts = transcripts_df(spark, args.sf_dir)
+        docs = None
+        if args.dedup:
+            # pre-stage: corpus dedup BEFORE tagging — the standard
+            # training-pipeline composition. Victim ids (higher-id members
+            # of dup families) are family-bounded, far below corpus size
+            # -> broadcast anti-join; the corpus never shuffles.
+            from pyspark.sql import functions as F
+
+            from autoner_spark.dedup import exact_dedup, minhash_verified_pairs
+
+            docs = load_parallel(spark, args.sf_dir, "documents")
+            if args.dedup == "exact":
+                keep = exact_dedup(docs).select(
+                    F.col("keep_id").alias("doc_id")
+                )
+                deduped = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+            else:
+                victims = minhash_verified_pairs(docs).select(
+                    F.col("id_b").alias("doc_id")
+                ).distinct()
+                deduped = docs.join(F.broadcast(victims), "doc_id",
+                                    "left_anti")
+            n_docs_dropped = docs.count() - deduped.count()
+            docs = deduped
+        transcripts = transcripts_df(spark, args.sf_dir, docs=docs)
+    elif args.dedup:
+        raise SystemExit("--dedup requires --sf-dir (documents corpus)")
     else:
         spec = synth.dict_spec()
         transcripts = synth.synth_transcripts(spark, args.n_convs)
@@ -80,6 +116,7 @@ def main() -> None:
     print(json.dumps({
         "buckets_skipped": sorted(done_before),
         "n_triples": n_triples,
+        "n_docs_dropped_by_dedup": n_docs_dropped,
         "lineage": metrics,
     }))
     from autoner_spark.caching import release_caches
