@@ -414,8 +414,18 @@ def main() -> None:
     # have. On a 32-CPU box: local[4] -> local[16].
     lo = max(2, cpus // 8)
     hi = cpus // 2
-    t_lo = tag_run(lo, corpus_path, trie, runs=2)
-    t_hi = tag_run(hi, corpus_path, trie, runs=2)
+    # INTERLEAVED lo/hi cycles, per-level MIN: the host's multi-minute
+    # throttling windows (BENCH.md noise note) used to hit whichever level
+    # happened to be measured inside one, skewing the ratio (observed
+    # 0.921 vs 0.691 for identical code in clean vs throttled windows).
+    # Alternating levels exposes both to the same windows, and min picks
+    # each level's clean-window sample — the capability estimate the
+    # efficiency ratio is meant to compare.
+    los, his = [], []
+    for _ in range(2):
+        los.append(tag_run(lo, corpus_path, trie, runs=1))
+        his.append(tag_run(hi, corpus_path, trie, runs=1))
+    t_lo, t_hi = min(los), min(his)
     efficiency = (t_lo * lo) / (t_hi * hi)
 
     # SECONDARY saturated pairing (cpus//4 -> cpus): at the hi level the
