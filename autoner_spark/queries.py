@@ -772,18 +772,35 @@ FROM read_parquet('{GOLDEN_DIR}/kg_labels_dp.parquet')
 
 
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Half-boundary discipline (r05 money sweep):
+    sum_disc_price's true value is a 4dp-exact rational (2dp price x 2dp
+    discount), so it is rounded at 4dp — an identity round with no
+    half-representable boundary — instead of 2dp, where a x.xx50 sum sits
+    exactly on the Spark-HALF_UP/DuckDB-binary divergence point. avg_qty
+    (a non-terminating s/c) is computed as integer HALF_UP at e4 scale
+    ((2*s*10^4 + c) div (2c), quantities are integral) then divided by
+    10^4 — exact on both engines at any scale."""
     li = load(spark, sf_dir, "lineitem")
-    return (
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.sum(F.col("l_quantity").cast("long")).alias("_sq"),
             F.count("*").alias("count_order"),
+        )
+    )
+    return (
+        agg.select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price",
+            (F.expr("(2 * _sq * 10000 + count_order) div (2 * count_order)")
+             / F.lit(10000.0)).alias("avg_qty"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -793,8 +810,9 @@ SQL_REL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ((2 * sum(cast(l_quantity AS bigint)) * 10000 + count(*))
+        // (2 * count(*))) / 10000.0 AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -908,7 +926,18 @@ def q_rel_events_json_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # integer HALF_UP at e4 scale (r05 money sweep): avg of ints
+            # is a non-terminating s/c a fixed double round can sit on
+            F.sum(F.col("k").cast("long")).alias("_sk"),
+            F.count("k").alias("_ck"),
+        )
+        .select(
+            "hour", "event_type", "n_events", "total_value",
+            F.when(
+                F.col("_ck") > 0,
+                F.expr("(2 * _sk * 10000 + _ck) div (2 * _ck)")
+                / F.lit(10000.0),
+            ).alias("avg_k"),
         )
     )
 
@@ -918,7 +947,14 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value,
-       round(avg(cast(json_extract_string(props, '$.k') AS integer)), 4) AS avg_k
+       CASE WHEN count(cast(json_extract_string(props, '$.k') AS integer)) > 0
+            THEN ((2 * sum(cast(json_extract_string(props, '$.k') AS bigint))
+                   * 10000
+                   + count(cast(json_extract_string(props, '$.k') AS integer)))
+                  // (2 * count(cast(json_extract_string(props, '$.k')
+                                     AS integer))))
+                 / 10000.0
+       END AS avg_k
 FROM events
 GROUP BY 1, 2
 """
@@ -938,8 +974,10 @@ def q_rel_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "n_name")
         .agg(
             F.count("*").alias("n_items"),
+            # 4dp round = identity on the 4dp-exact price x discount sum;
+            # 2dp sat on the half-cent HALF_UP divergence (r05 money sweep)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
         )
     )
@@ -947,7 +985,7 @@ def q_rel_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REL_PART_TYPE_REVENUE = """
 SELECT p_type, n_name, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1012,29 +1050,54 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side is explicitly DECORRELATED — per-part thresholds via one
     aggregation, then a broadcast-joined filter — which is the plan shape
     the optimizer must reach at scale (a per-row subquery is quadratic).
-    The threshold is rounded (6dp) on both engines so float summation order
-    cannot flip the comparison."""
+    Threshold and output are INTEGER-EXACT (r05 money sweep): the per-part
+    threshold 0.2*avg(qty) is HALF_UP-scaled to e6 with bigint math and the
+    comparison runs on qty*10^6 < thr_e6 (quantities are integral), so no
+    float summation order or round-boundary can flip the filter; the yearly
+    average is HALF_UP integer cents ((2*sum_cents + 7) div 14) divided by
+    100 — a 2dp-exact double on both engines."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    thr = li.groupBy("l_partkey").agg(
-        F.round(0.2 * F.avg("l_quantity"), 6).alias("thr")
+    li2 = li.select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+    )
+    thr = (
+        li2.groupBy("l_partkey")
+        .agg(F.sum("qty").alias("_s"), F.count("*").alias("_c"))
+        .select(
+            "l_partkey",
+            F.expr("(2000000 * _s + 5 * _c) div (10 * _c)").alias("thr_e6"),
+        )
     )
     brand = p.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
     return (
-        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
+        li2.join(F.broadcast(brand), li2["l_partkey"] == brand["p_partkey"])
         .join(thr, "l_partkey")
-        .filter(F.col("l_quantity") < F.col("thr"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .filter(F.col("qty") * F.lit(1_000_000).cast("long")
+                < F.col("thr_e6"))
+        .agg(F.sum("cents").alias("_sc"))
+        .select((F.expr("(2 * _sc + 7) div 14") / F.lit(100.0))
+                .alias("avg_yearly"))
     )
 
 
 SQL_REL_SMALL_QTY_REVENUE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+WITH thr AS (
+    SELECT l_partkey,
+           (2000000 * sum(cast(l_quantity AS bigint)) + 5 * count(*))
+           // (10 * count(*)) AS thr_e6
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT ((2 * sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) + 7)
+        // 14) / 100.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
+JOIN thr USING (l_partkey)
 WHERE p_brand = 'Brand#4'
-  AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 6)
-                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+  AND cast(l_quantity AS bigint) * 1000000 < thr_e6
 """
 
 
@@ -3752,9 +3815,17 @@ def q_rel_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-frame window aggregates: per customer, order history in
     time order with a running total and a trailing 3-order moving average
     — the ROWS BETWEEN frame family (cumulative + bounded-preceding), one
-    shuffle on the partition key. Values kept FP-exact across engines by
-    summing scaled-integer cents inside the frames and dividing only at
-    the end (the rel_time_rollup discipline applied to window frames)."""
+    shuffle on the partition key.
+
+    INTEGER-EXACT outputs (the r04 red-row fix): `cum_cents` is the raw
+    bigint frame sum, and the trailing average is HALF_UP-rounded to
+    integer cents with pure integer math — floor((2*sum + cnt)/(2*cnt)).
+    The previous form rounded sum/(cnt*100.0) to 2dp, and a count=2 frame
+    with an odd cents sum lands on an exact half-cent (e.g. 134279.985)
+    where Spark's HALF_UP on the shortest-decimal repr (-> .99) and
+    DuckDB's binary-double rounding (134279.98499.. -> .98) disagree —
+    30/15,000 rows diverged at sf0.01. Never round a half-representable
+    double; emit scaled integers instead."""
     o = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
@@ -3765,17 +3836,19 @@ def q_rel_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = Window.partitionBy("custkey").orderBy("ous", "orderkey")
     cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     trail = win.rowsBetween(-2, Window.currentRow)
-    return o.select(
+    base = o.select(
         "custkey", "orderkey",
         F.row_number().over(win).cast("int").alias("order_seq"),
-        F.round(F.sum("cents").over(cum) / 100.0, 2).alias("cum_spend"),
-        # sum/(count*100.0), structurally identical to the SQL twin: a
-        # two-step (sum/count)/100.0 rounds twice and can differ in the
-        # last ulp from the twin's single division
-        F.round(
-            F.sum("cents").over(trail)
-            / (F.count("*").over(trail) * F.lit(100.0)), 2
-        ).alias("trailing3_avg"),
+        F.sum("cents").over(cum).cast("long").alias("cum_cents"),
+        F.sum("cents").over(trail).cast("long").alias("_s3"),
+        F.count("*").over(trail).cast("long").alias("_c3"),
+    )
+    # integer HALF_UP: floor((2s + c) / 2c) == round-half-up(s/c) for
+    # positive s — bigint `div` keeps it exact past 2^53
+    return base.select(
+        "custkey", "orderkey", "order_seq", "cum_cents",
+        F.expr("(2 * _s3 + _c3) div (2 * _c3)").cast("long")
+        .alias("trailing3_avg_cents"),
     )
 
 
@@ -3788,11 +3861,12 @@ WITH o AS (
 )
 SELECT custkey, orderkey,
        cast(row_number() OVER w AS integer) AS order_seq,
-       round(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) / 100.0, 2) AS cum_spend,
-       round(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             / (count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                * 100.0), 2) AS trailing3_avg
+       cast(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS bigint) AS cum_cents,
+       cast((2 * sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             + count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+            // (2 * count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+            AS bigint) AS trailing3_avg_cents
 FROM o
 WINDOW w AS (PARTITION BY custkey ORDER BY ous, orderkey)
 """

@@ -1,0 +1,178 @@
+"""Half-boundary regression suite (VERDICT r04 items 2 & 3).
+
+Two layers:
+
+1. The local gate's float normalization must be VALUE-exact: the old
+   ``%.6g`` kept 6 *significant* digits, so a cent-level divergence in any
+   value >= 1e5 hashed equal locally while the driver correctly failed it
+   (exactly how the rel_rolling_spend half-cent bug shipped in r04).
+
+2. Every money-emitting gate query must agree with its DuckDB twin on
+   ADVERSARIAL half-boundary inputs — sums landing on exact half-cents,
+   integer averages landing on exact x.00005 at the 4dp scale (where
+   Spark's HALF_UP on the shortest-decimal repr and DuckDB's
+   binary-double rounding disagree for plain ``round``). The queries are
+   expected to survive because they emit scaled-integer/identity-round
+   outputs, not because the fixture is kind.
+"""
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_spec = importlib.util.spec_from_file_location(
+    "check_correctness",
+    os.path.join(os.path.dirname(__file__), "..", "tools",
+                 "check_correctness.py"),
+)
+gate = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(gate)
+
+
+def test_gate_norm_is_value_exact_not_sig_digit():
+    # the r04 failure: 134279.99 vs 134279.98 — %.6g collapsed both to
+    # "134280"; the fixed normalization must distinguish them
+    assert f"{134279.99:.6g}" == f"{134279.98:.6g}"  # the old blind spot
+    assert gate.norm_value(134279.99) != gate.norm_value(134279.98)
+    assert gate.norm_value(134279.99) == "134279.990000"
+    # and sub-1 values still normalize at 6 decimals
+    assert gate.norm_value(0.1234564) == gate.norm_value(0.1234561)
+    assert gate.norm_value(0.1234567) != gate.norm_value(0.1234556)
+    assert gate.norm_value(None) == "NULL"
+    assert gate.norm_value(float("nan")) == "NaN"
+
+
+def test_gate_canon_catches_deliberately_broken_twin():
+    # a one-cent divergence at 1e5 scale in ONE row must change the canon
+    spark_rows = [(1, 134279.99), (2, 7.0)]
+    duck_rows = [(1, 134279.98), (2, 7.0)]
+    cols = ["id", "v"]
+    assert gate.canon(spark_rows, cols) != gate.canon(duck_rows, cols)
+    assert gate.canon(spark_rows, cols) == gate.canon(list(spark_rows), cols)
+
+
+@pytest.fixture(scope="module")
+def money_dir(spark, tmp_path_factory):
+    """Adversarial tables: every engineered value sits on a rounding
+    boundary the old 2dp/plain-round forms could diverge at."""
+    d = str(tmp_path_factory.mktemp("money"))
+    ts = F.to_timestamp(F.lit("1995-01-01 00:00:00"))
+
+    # lineitem: group ('A','O') sums disc price to exactly 0.4950 (a
+    # half-cent at 2dp); group ('B','O') has 20,000 rows averaging
+    # 20001/20000 = 1.00005 qty (a half at the 4dp scale, non-binary-exact
+    # because the denominator carries factor 5); part 2 drives the
+    # small-qty threshold with an odd filtered cents sum
+    a = spark.range(1).select(
+        F.lit(1).cast("long").alias("l_partkey"),
+        F.lit(1).cast("long").alias("l_suppkey"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(0.50).alias("l_extendedprice"),
+        F.lit(0.01).alias("l_discount"),
+        F.lit("A").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        ts.alias("l_shipdate"),
+        F.lit(1).cast("long").alias("l_orderkey"),
+    )
+    b = spark.range(20000).select(
+        F.lit(1).cast("long").alias("l_partkey"),
+        F.lit(1).cast("long").alias("l_suppkey"),
+        F.when(F.col("id") == 0, 2.0).otherwise(1.0).alias("l_quantity"),
+        F.lit(0.01).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"),
+        F.lit("B").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        ts.alias("l_shipdate"),
+        (F.col("id") + 10).alias("l_orderkey"),
+    )
+    c = spark.createDataFrame(
+        [(2, 1, 1.0, 0.01), (2, 1, 1.0, 0.01), (2, 1, 1.0, 0.01),
+         (2, 1, 1.0, 0.04), (2, 1, 96.0, 1.00)],
+        "l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double",
+    ).select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        F.lit(0.0).alias("l_discount"), F.lit("C").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"), ts.alias("l_shipdate"),
+        F.lit(99).cast("long").alias("l_orderkey"),
+    )
+    a.unionByName(b).unionByName(c).write.parquet(f"{d}/lineitem.parquet")
+
+    spark.createDataFrame(
+        [(1, "Brand#1", "T1"), (2, "Brand#4", "T2")],
+        "p_partkey long, p_brand string, p_type string",
+    ).write.parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [(1, 1)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(
+        [(1, "XLAND")], "n_nationkey long, n_name string"
+    ).write.parquet(f"{d}/nation.parquet")
+
+    # orders: the exact r04 red-row shape — count=2 frame with odd cents
+    spark.createDataFrame(
+        [(1, 10, "1995-01-01", 134279.99), (1, 20, "1995-02-01", 134279.98),
+         (2, 30, "1995-03-01", 10.00)],
+        "o_custkey long, o_orderkey long, o_orderdate string,"
+        " o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")) \
+        .withColumn("o_orderstatus", F.lit("O")) \
+        .write.parquet(f"{d}/orders.parquet")
+
+    # events: one (hour, type) group with avg(k) = 1.00005
+    spark.range(20000).select(
+        F.col("id").cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        ts.alias("ts"),
+        F.concat(F.lit('{"k": '),
+                 F.when(F.col("id") == 0, "2").otherwise("1"),
+                 F.lit("}")).alias("props"),
+        F.lit(0.01).alias("value"),
+    ).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+MONEY_QUERIES = [
+    "rel_pricing_summary",
+    "rel_part_type_revenue",
+    "rel_small_qty_revenue",
+    "rel_events_json_hourly",
+    "rel_rolling_spend",
+    "rel_scd2_merge",
+    "rel_event_funnel",
+]
+
+
+@pytest.mark.parametrize("name", MONEY_QUERIES)
+def test_money_query_agrees_with_twin_on_half_boundaries(
+    spark, money_dir, name
+):
+    import duckdb
+
+    from autoner_spark.caching import release_caches
+    from autoner_spark.queries import ORACLE_SQL, QUERIES
+
+    df = QUERIES[name](spark, money_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols = df.columns
+    release_caches()
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "supplier", "nation", "orders", "events"):
+        con.execute(
+            # Spark writes a directory of part files; glob them
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{money_dir}/{t}.parquet/*.parquet')"
+        )
+    res = con.execute(ORACLE_SQL[name])
+    duck_cols = [x[0] for x in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert gate.canon(spark_rows, spark_cols) == gate.canon(
+        duck_rows, duck_cols
+    ), f"{name} diverges on half-boundary inputs"

@@ -204,9 +204,32 @@ def test_rolling_spend_frames(spark):
         assert [r.order_seq for r in rs] == list(range(1, len(rs) + 1))
         # cumulative sum is monotone in nonnegative spend and the first
         # row's trailing average equals its own spend
-        assert rs[0].trailing3_avg == rs[0].cum_spend
+        assert rs[0].trailing3_avg_cents == rs[0].cum_cents
         for a, b in zip(rs, rs[1:]):
-            assert b.cum_spend >= a.cum_spend - 1e-9
+            assert b.cum_cents >= a.cum_cents
+
+
+def test_rolling_spend_half_cent_frame_is_integer_exact(spark, tmp_path):
+    # the r04 red-row class: a count=2 frame whose cents sum is ODD has an
+    # exact half-cent average (26855997 / 2 = 13427998.5) — the integer
+    # HALF_UP form must emit 13427999 deterministically, never an
+    # engine-dependent .98/.99 double round
+    from autoner_spark.queries import QUERIES
+
+    spark.createDataFrame(
+        [(1, 10, "1995-01-01", 134279.99),
+         (1, 20, "1995-02-01", 134279.98)],
+        "o_custkey long, o_orderkey long, o_orderdate string,"
+        " o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")) \
+        .write.parquet(f"{tmp_path}/orders.parquet")
+    rows = sorted(
+        QUERIES["rel_rolling_spend"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.order_seq,
+    )
+    assert rows[0].trailing3_avg_cents == 13427999
+    assert rows[1].cum_cents == 13427999 + 13427998
+    assert rows[1].trailing3_avg_cents == 13427999  # HALF_UP on .5
 
 
 def test_hopping_windows_double_count_exactly(spark):

@@ -22,12 +22,21 @@ TABLES = [
 
 
 def norm_value(v):
+    """Fixed 6-DECIMAL float normalization (never significant digits).
+
+    The previous `%.6g` kept 6 *significant* digits, so a cent-level
+    divergence in any value >= 1e5 (e.g. 134279.99 vs 134279.98 — the
+    exact class that shipped the rel_rolling_spend half-cent bug in r04)
+    hashed equal locally while the driver correctly failed it. 6 decimal
+    places match the repo's own output convention (every float column is
+    rounded to <= 6dp before emission), so local green implies driver
+    green for this gate."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return f"{round(v, 6):.6f}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
