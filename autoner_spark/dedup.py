@@ -769,3 +769,79 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
             .otherwise(0)
         ).cast("long").alias("simhash")
     )
+
+
+def cluster_victims_from_pairs(pairs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id): non-minimum members of each near-dup CLUSTER.
+
+    Verified pairs are closed into connected components before choosing
+    victims — TRUE keep-min-per-cluster semantics. Dropping every id_b of
+    the pair list (the former job-driver rule) keeps all locally-minimal
+    docs, not one representative per cluster: pairs (a,c),(b,c) with
+    a<b<c kept BOTH a and b. CC runs on the pair edges only
+    (family-bounded, never the corpus); ids go through a fixed-width
+    string key so CC's string-min equals numeric min."""
+    from .canonicalize import connected_components
+
+    id_type = pairs.schema["id_a"].dataType
+    kid = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    comp = connected_components(
+        pairs.select(kid("id_a").alias("src"), kid("id_b").alias("dst"))
+    )
+    return (
+        comp.filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").cast(id_type).alias(id_col))
+    )
+
+
+def corpus_dedup_victims(
+    docs: DataFrame,
+    method: str = "exact",
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id): documents a corpus-dedup pre-stage should DROP.
+
+    ``exact``: higher-id members of byte-identical families. Only families
+    with n_dups > 1 — family-bounded, far below corpus size — are kept and
+    BROADCAST against a map-side md5 of the corpus; the survivor set (one
+    id per distinct text, ~corpus-sized on a mostly-unique corpus) is
+    never broadcast and the corpus never shuffles.
+
+    ``minhash``: LSH+exact-verify near-dup pairs closed into connected
+    components; every non-minimum cluster member is a victim (see
+    ``cluster_victims_from_pairs``)."""
+    if method == "exact":
+        fams = exact_dedup(docs, id_col, text_col).filter(
+            F.col("n_dups") > 1
+        ).select("text_hash", "keep_id")
+        return (
+            docs.select(F.md5(F.col(text_col)).alias("text_hash"),
+                        F.col(id_col))
+            .join(F.broadcast(fams), "text_hash")
+            .filter(F.col(id_col) != F.col("keep_id"))
+            .select(id_col)
+        )
+    if method == "minhash":
+        pairs = minhash_verified_pairs(
+            docs, threshold=threshold, id_col=id_col, text_col=text_col
+        )
+        return cluster_victims_from_pairs(pairs, id_col)
+    raise ValueError(f"unknown dedup method: {method!r}")
+
+
+def apply_corpus_dedup(
+    docs: DataFrame,
+    method: str = "exact",
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus its dedup victims: one broadcast anti-join on the
+    victim ids (bounded by dup families), so the corpus streams through
+    untouched — the composition the deployment job driver runs before
+    tagging."""
+    victims = corpus_dedup_victims(docs, method, threshold, id_col, text_col)
+    return docs.join(F.broadcast(victims), id_col, "left_anti")

@@ -1,0 +1,74 @@
+"""Corpus-dedup pre-stage (VERDICT r04 #3 + ADVICE): victim derivation,
+keep-min-per-cluster semantics, and the no-corpus-sized-broadcast plan pin.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(autouse=True)
+def _release(spark):
+    yield
+    from autoner_spark.caching import release_caches
+
+    release_caches()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_victims_are_family_bounded_not_survivors(spark):
+    from autoner_spark.dedup import apply_corpus_dedup, corpus_dedup_victims
+
+    docs = _docs(spark, [(1, "a a a"), (2, "a a a"), (3, "b b b"),
+                         (4, "a a a"), (5, "c c c")])
+    victims = {r.doc_id for r in corpus_dedup_victims(docs, "exact").collect()}
+    assert victims == {2, 4}
+    kept = {r.doc_id for r in apply_corpus_dedup(docs, "exact").collect()}
+    assert kept == {1, 3, 5}
+
+
+def test_exact_dedup_plan_never_broadcasts_the_survivor_set(spark):
+    # the r04 defect: docs.join(broadcast(keep), "left_semi") pinned the
+    # ~corpus-sized survivor set as a broadcast build. The fixed plan is
+    # a LeftAnti on the victim side only — no LeftSemi anywhere, and the
+    # retention join's build side is the (dup-bounded) victim relation.
+    from autoner_spark.dedup import apply_corpus_dedup
+
+    docs = _docs(spark, [(i, f"t {i}") for i in range(50)] + [(99, "t 0")])
+    out = apply_corpus_dedup(docs, "exact")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" in plan
+    assert {r.doc_id for r in out.collect()} == set(range(50))
+
+
+def test_cluster_victims_keep_one_representative_per_cluster(spark):
+    # pairs (a,c),(b,c) with a<b<c: the old drop-any-id_b rule kept BOTH
+    # a and b; cluster semantics keep only a
+    from autoner_spark.dedup import cluster_victims_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (2, 3, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    victims = {r.doc_id
+               for r in cluster_victims_from_pairs(pairs).collect()}
+    assert victims == {2, 3}
+
+
+def test_minhash_corpus_dedup_end_to_end(spark):
+    from autoner_spark.dedup import apply_corpus_dedup
+
+    # minhash is md5-derived (no runtime randomness), so this fixture is
+    # reproducible: swapping the LAST token keeps jaccard at 0.83 and the
+    # band collision occurs deterministically (probed once, pinned here)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.rstrip().rsplit(" ", 1)[0] + " lambda"
+    docs = _docs(spark, [
+        (10, base), (11, base), (12, near),   # one near-dup cluster
+        (20, "totally different text with nothing shared here at all"),
+    ])
+    kept = {r.doc_id for r in apply_corpus_dedup(docs, "minhash").collect()}
+    assert kept == {10, 20}

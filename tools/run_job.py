@@ -27,9 +27,10 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--dedup", choices=["exact", "minhash"], default=None,
                    help="pre-stage: drop duplicate documents before "
-                        "deriving transcripts (exact = md5 groupBy keep "
-                        "min id; minhash = near-dup clusters via "
-                        "LSH+verify, keep min id). Requires --sf-dir.")
+                        "deriving transcripts (exact = md5 families, keep "
+                        "min id; minhash = LSH+verify near-dup pairs "
+                        "closed into connected components, keep min id "
+                        "per cluster). Requires --sf-dir.")
     args = p.parse_args()
 
     # spark-submit provides the session config (master, --py-files)
@@ -64,25 +65,17 @@ def main() -> None:
         docs = None
         if args.dedup:
             # pre-stage: corpus dedup BEFORE tagging — the standard
-            # training-pipeline composition. Victim ids (higher-id members
-            # of dup families) are family-bounded, far below corpus size
-            # -> broadcast anti-join; the corpus never shuffles.
-            from pyspark.sql import functions as F
-
-            from autoner_spark.dedup import exact_dedup, minhash_verified_pairs
+            # training-pipeline composition. Both branches broadcast only
+            # the VICTIM ids (family-bounded, far below corpus size) in a
+            # left_anti join, so the corpus never shuffles; the former
+            # exact branch broadcast the SURVIVOR set (~corpus-sized on a
+            # mostly-unique corpus — driver OOM at scale) and the former
+            # minhash rule dropped id_b's only (kept two representatives
+            # for clusters shaped (a,c),(b,c)). See dedup.apply_corpus_dedup.
+            from autoner_spark.dedup import apply_corpus_dedup
 
             docs = load_parallel(spark, args.sf_dir, "documents")
-            if args.dedup == "exact":
-                keep = exact_dedup(docs).select(
-                    F.col("keep_id").alias("doc_id")
-                )
-                deduped = docs.join(F.broadcast(keep), "doc_id", "left_semi")
-            else:
-                victims = minhash_verified_pairs(docs).select(
-                    F.col("id_b").alias("doc_id")
-                ).distinct()
-                deduped = docs.join(F.broadcast(victims), "doc_id",
-                                    "left_anti")
+            deduped = apply_corpus_dedup(docs, args.dedup)
             n_docs_dropped = docs.count() - deduped.count()
             docs = deduped
         transcripts = transcripts_df(spark, args.sf_dir, docs=docs)
