@@ -1708,6 +1708,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.5, max_shingle_df=1000)
 
 
+def q_dedup_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-routed Jaccard pairs (VERDICT r04 #4): a one-scalar profile
+    of the candidate-pair mass picks the exact relational explosion
+    (within budget — the gate scales land here, so this query SHARES the
+    plain jaccard twin and the routing is pinned lossless) or reroutes
+    to LSH+exact-verify where a flat-but-fat df profile would turn
+    sum(df^2) superlinear (the 10x bench corpus)."""
+    from .dedup import ngram_jaccard_pairs_routed
+
+    return ngram_jaccard_pairs_routed(
+        load_parallel(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_df=1000,
+    )
+
+
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard (AllPairs/PPJoin prefix): same output
     as dedup_ngram_jaccard — it SHARES that query's DuckDB twin, so the
@@ -4138,6 +4153,7 @@ QUERIES = {
     "rel_constraint_check": q_rel_constraint_check,
     "rel_profile_columns": q_rel_profile_columns,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "dedup_jaccard_routed": q_dedup_jaccard_routed,
     # --- (2) no driver row in any round through r03 ---
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -4233,6 +4249,8 @@ ORACLE_SQL = {
     "rel_profile_columns": SQL_REL_PROFILE_COLUMNS,
     # shares the plain jaccard twin: identical-output contract is the gate
     "dedup_jaccard_prefix": SQL_DEDUP_NGRAM_JACCARD,
+    # in-budget routing picks the exact form at gate scale -> same twin
+    "dedup_jaccard_routed": SQL_DEDUP_NGRAM_JACCARD,
     "kg_transcripts": SQL_KG_TRANSCRIPTS,
     "kg_dict_core": SQL_KG_DICT_CORE,
     "kg_mentions_exact": SQL_KG_MENTIONS_EXACT,

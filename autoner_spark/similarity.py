@@ -222,6 +222,7 @@ def hyperplane_bits(
     n_hyperplanes: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, j, bit): random-hyperplane sign bits (SimHash for vectors,
     Charikar '02), computed relationally and cross-engine-portably.
@@ -236,13 +237,19 @@ def hyperplane_bits(
     last bits depend on aggregation order, so an unrounded comparison could
     flip a bit between engines (or runs) when a dot lands within rounding
     distance of zero — the same convention as every other float boundary in
-    the gate queries."""
+    the gate queries.
+
+    ``dim``: pass the embedding width when known — building the plan then
+    triggers NO eager job (same contract as the Arrow signature path);
+    when None the width is probed once with a ``first()`` fallback."""
     spark = embeddings.sparkSession
-    first_vec = (
-        embeddings.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
-    )
-    # empty input: any dim yields the correct empty result downstream
-    dim = 1 if first_vec is None else len(first_vec[0])
+    if dim is None:
+        first_vec = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(vec_col).first()
+        )
+        # empty input: any dim yields the correct empty result downstream
+        dim = 1 if first_vec is None else len(first_vec[0])
     hyp = spark.createDataFrame(
         [(j, d) for j in range(n_hyperplanes) for d in range(dim)],
         "j int, d int",
@@ -274,11 +281,12 @@ def lsh_band_buckets(
     base: DataFrame,
     bits_per_band: int = 16,
     n_bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, band, bucket): sign-LSH band bucket keys over
     base(vec_id, embedding) — shared by the pair generator and the
     drop-stats observability query."""
-    bits = hyperplane_bits(base, bits_per_band * n_bands)
+    bits = hyperplane_bits(base, bits_per_band * n_bands, dim=dim)
     return bits.groupBy(
         "vec_id", F.floor(F.col("j") / bits_per_band).cast("int").alias("band")
     ).agg(
@@ -310,6 +318,7 @@ def lsh_band_buckets_arrow(
     bits_per_band: int = 16,
     n_bands: int = 4,
     dim: int | None = None,
+    emit_dim: bool = False,
 ) -> DataFrame:
     """(vec_id, band, bucket): the mapInArrow/NumPy twin of
     ``lsh_band_buckets`` — one BLAS matmul per Arrow batch instead of the
@@ -333,9 +342,11 @@ def lsh_band_buckets_arrow(
     query construction stay free. Lazy inference relies on the documented
     fixed-dimension contract: raggedness is caught whenever two widths
     meet inside one task, but a corpus partitioned so that every task is
-    internally consistent (different widths in different files) is only
-    caught when ``dim`` is passed explicitly — pass it on mixed-source
-    corpora."""
+    internally consistent (different widths in different files) needs a
+    cross-task check — ``emit_dim=True`` appends the per-task inferred
+    width as a ``dim`` column so the consumer can verify agreement
+    lazily (``embedding_lsh_pairs`` asserts per-bucket width equality,
+    which covers every case that could produce a cross-width pair)."""
     import pyarrow as pa
 
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
@@ -343,11 +354,14 @@ def lsh_band_buckets_arrow(
     clean = base.filter(F.col("embedding").isNotNull())
     n_hyp = bits_per_band * n_bands
 
-    out_schema = StructType([
+    fields = [
         StructField("vec_id", base.schema["vec_id"].dataType),
         StructField("band", IntegerType()),
         StructField("bucket", LongType()),
-    ])
+    ]
+    if emit_dim:
+        fields.append(StructField("dim", IntegerType()))
+    out_schema = StructType(fields)
 
     def compute(batches):
         import numpy as np
@@ -380,11 +394,17 @@ def lsh_band_buckets_arrow(
             # same convention as the join form: sign on the 6dp-rounded dot
             bits = (np.round(x @ w_t, 6) > 0).astype(np.int64)
             buckets = bits.reshape(n, n_bands, bits_per_band) @ pows
-            yield pa.RecordBatch.from_pydict({
+            cols = {
                 "vec_id": id_rep,
                 "band": pa.array(np.tile(bands, n), type=pa.int32()),
                 "bucket": pa.array(buckets.reshape(-1), type=pa.int64()),
-            })
+            }
+            if emit_dim:
+                cols["dim"] = pa.array(
+                    np.full(n * n_bands, d, dtype=np.int32),
+                    type=pa.int32(),
+                )
+            yield pa.RecordBatch.from_pydict(cols)
 
     return clean.select("vec_id", "embedding").mapInArrow(compute, out_schema)
 
@@ -396,6 +416,7 @@ def embedding_lsh_drop_stats(
     max_bucket_size: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """One row (n_dropped_groups, n_dropped_rows): buckets (and memberships)
     the ``max_bucket_size`` guard in ``embedding_lsh_pairs`` discarded."""
@@ -405,7 +426,7 @@ def embedding_lsh_drop_stats(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
     return group_drop_stats(
-        lsh_band_buckets(base, bits_per_band, n_bands),
+        lsh_band_buckets(base, bits_per_band, n_bands, dim=dim),
         ["band", "bucket"], max_bucket_size,
     )
 
@@ -453,10 +474,36 @@ def embedding_lsh_pairs(
     # measured ~2x faster, see BENCH.md); "join": the pure-relational form
     # (bit-identical output, pinned by pytest)
     if signature == "arrow":
-        bucketed = lsh_band_buckets_arrow(base, bits_per_band, n_bands,
-                                          dim=dim)
+        if dim is None:
+            # cross-task raggedness guard: the per-task lazily-inferred
+            # width rides along as a column and every bucket must be
+            # width-uniform — which covers EVERY case that could emit a
+            # cross-width pair (different-width vectors are only harmful
+            # when they collide in a bucket; cosine across widths is
+            # undefined). The min/max window shares the (band, bucket)
+            # shuffle the skew-cap window in _bucket_pairs needs anyway,
+            # so the check adds no extra exchange; a mixed bucket fails
+            # the query instead of silently degrading recall.
+            raw = lsh_band_buckets_arrow(base, bits_per_band, n_bands,
+                                         dim=None, emit_dim=True)
+            w = Window.partitionBy("band", "bucket")
+            bucketed = (
+                raw.withColumn("_dmin", F.min("dim").over(w))
+                .withColumn("_dmax", F.max("dim").over(w))
+                .filter(
+                    F.assert_true(
+                        F.col("_dmin") == F.col("_dmax"),
+                        F.lit("mixed embedding widths collided in an LSH "
+                              "bucket — pass dim= explicitly"),
+                    ).isNull()
+                )
+                .select("vec_id", "band", "bucket")
+            )
+        else:
+            bucketed = lsh_band_buckets_arrow(base, bits_per_band, n_bands,
+                                              dim=dim)
     elif signature == "join":
-        bucketed = lsh_band_buckets(base, bits_per_band, n_bands)
+        bucketed = lsh_band_buckets(base, bits_per_band, n_bands, dim=dim)
     else:
         raise ValueError(f"unknown signature impl: {signature!r}")
     # shared LSH pair-explosion core (skew cap BEFORE collect_list;

@@ -134,7 +134,14 @@ def range_join(
     if salt is not None:
         if salt < 2:
             raise ValueError(f"salt ({salt}) must be >= 2 to split anything")
-        r = r.withColumn("_salt", F.pmod(F.hash(F.col(right_ts)), salt))
+        # salt over the FULL right row, not just right_ts: the most common
+        # real skew shape is an event burst at one identical timestamp,
+        # and hash(right_ts) would send that whole burst to a single
+        # sub-partition — splitting nothing exactly where it matters
+        r = r.withColumn(
+            "_salt",
+            F.pmod(F.hash(*[F.col(c) for c in right.columns]), salt),
+        )
         l_ = l_.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )

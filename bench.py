@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_routed",
     "dedup_embedding_lsh",
     "dedup_minhash_verified",
     "sim_topk_cosine",
@@ -98,6 +99,7 @@ SF1_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_routed",
     "dedup_minhash_verified",
     "text_repetition",
     "rel_events_asof",

@@ -26,6 +26,7 @@ PERSIST_BEARING = [
     "text_bm25_topk",          # persisted query-term postings (tf)
     "rel_bloom_semijoin",      # persisted keys/occupied/probes relations
     "dedup_jaccard_prefix",    # persisted capped shingle relation
+    "dedup_jaccard_routed",    # whichever routed form runs persists
 ]
 
 

@@ -72,3 +72,39 @@ def test_minhash_corpus_dedup_end_to_end(spark):
     ])
     kept = {r.doc_id for r in apply_corpus_dedup(docs, "minhash").collect()}
     assert kept == {10, 20}
+
+
+def test_jaccard_routing_exact_within_budget_lsh_beyond(spark):
+    from autoner_spark.dedup import (
+        estimate_candidate_pair_mass,
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_routed,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.rstrip().rsplit(" ", 1)[0] + " lambda"
+    docs = _docs(spark, [(10, base), (11, base), (12, near),
+                         (20, "unrelated words only here nothing shared")])
+
+    mass = estimate_candidate_pair_mass(docs)
+    assert mass > 0
+
+    # within budget: routed == exact form, complete recall
+    exact = {(r.id_a, r.id_b, r.jaccard)
+             for r in ngram_jaccard_pairs(docs).collect()}
+    routed = {(r.id_a, r.id_b, r.jaccard)
+              for r in ngram_jaccard_pairs_routed(
+                  docs, pair_budget=mass).collect()}
+    assert routed == exact and len(exact) >= 2
+
+    # beyond budget: routed == LSH+verify form (precision preserved:
+    # every emitted pair is exact-jaccard-verified; recall is the band
+    # guarantee) — same schema, subset of the exact pairs
+    lsh = {(r.id_a, r.id_b, r.jaccard)
+           for r in minhash_verified_pairs(docs, threshold=0.5).collect()}
+    rerouted = {(r.id_a, r.id_b, r.jaccard)
+                for r in ngram_jaccard_pairs_routed(
+                    docs, pair_budget=mass - 1).collect()}
+    assert rerouted == lsh
+    assert rerouted <= exact

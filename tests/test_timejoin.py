@@ -156,3 +156,40 @@ def test_asof_join_tied_right_timestamps_deterministic(spark):
            for r in asof_join(left, right, ["k"], "tus",
                               ["rts", "rid"]).collect()}
     assert out == {(90, "RB")}
+
+
+def test_range_join_salt_scatters_identical_timestamp_burst(spark):
+    """An event burst at ONE identical timestamp is the common real skew
+    shape. Salting on hash(right_ts) alone sends the whole burst to a
+    single sub-partition (splitting nothing); the row-unique salt must
+    scatter it while the salted result stays exactly the unsalted one."""
+    from autoner_spark.timejoin import range_join
+
+    n = 2_000
+    left = spark.range(50).select(
+        F.lit("hot").alias("k"), F.lit(100).alias("lts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(n).select(
+        F.lit("hot").alias("k"), F.lit(120).alias("rts"),  # one burst ts
+        (F.col("id") + 1_000_000).alias("rid"),
+    )
+
+    plain = {(r.lid, r.rid)
+             for r in range_join(left, right, ["k"], "lts", "rts",
+                                 lo=0, hi=50).collect()}
+    salted = [(r.lid, r.rid)
+              for r in range_join(left, right, ["k"], "lts", "rts",
+                                  lo=0, hi=50, salt=8).collect()]
+    assert set(salted) == plain and len(salted) == len(plain)
+    assert len(plain) == 50 * n  # every pair in range
+
+    # the salt expression (mirror of the implementation: hash over the
+    # full right row) actually scatters the burst across sub-partitions
+    n_salts = (
+        right.select(
+            F.pmod(F.hash(*[F.col(c) for c in right.columns]), F.lit(8))
+            .alias("s")
+        ).distinct().count()
+    )
+    assert n_salts > 1, "identical-ts burst not scattered"
