@@ -27,6 +27,9 @@ PERSIST_BEARING = [
     "rel_bloom_semijoin",      # persisted keys/occupied/probes relations
     "dedup_jaccard_prefix",    # persisted capped shingle relation
     "dedup_jaccard_routed",    # whichever routed form runs persists
+    "kg_entity_pmi",           # persisted per-turn mention relation
+    "kg_common_neighbors",     # persisted symmetric edge list
+    "kg_kcore",                # persisted edge list across peel rounds
 ]
 
 
