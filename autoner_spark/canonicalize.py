@@ -227,3 +227,17 @@ def _union_find_labels(pairs: list[tuple[str, str]]) -> dict[str, str]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {node: find(node) for node in list(parent)}
+
+
+def fixed_width_key(col, width: int = 20):
+    """Nonnegative integer id -> fixed-width zero-padded string whose
+    STRING min equals the numeric min (what connected_components needs
+    for keep-min-id semantics on numeric ids).
+
+    Width 20 covers the full int64 range (19 digits): Spark's ``lpad``
+    TRUNCATES inputs longer than the target width, so an undersized
+    width silently merges distinct ids into one node and corrupts
+    components (r05 review finding — 13-digit ids under the old
+    width-12 key truncated to the same node). Negative ids are out of
+    contract ('-' sorts before digits)."""
+    return F.lpad(col.cast("string"), width, "0")

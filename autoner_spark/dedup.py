@@ -780,14 +780,14 @@ def cluster_victims_from_pairs(pairs: DataFrame,
     the pair list (the former job-driver rule) keeps all locally-minimal
     docs, not one representative per cluster: pairs (a,c),(b,c) with
     a<b<c kept BOTH a and b. CC runs on the pair edges only
-    (family-bounded, never the corpus); ids go through a fixed-width
-    string key so CC's string-min equals numeric min."""
-    from .canonicalize import connected_components
+    (family-bounded, never the corpus); ids go through the shared
+    full-int64-width string key so CC's string-min equals numeric min."""
+    from .canonicalize import connected_components, fixed_width_key
 
     id_type = pairs.schema["id_a"].dataType
-    kid = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
     comp = connected_components(
-        pairs.select(kid("id_a").alias("src"), kid("id_b").alias("dst"))
+        pairs.select(fixed_width_key(F.col("id_a")).alias("src"),
+                     fixed_width_key(F.col("id_b")).alias("dst"))
     )
     return (
         comp.filter(F.col("node") != F.col("comp"))
@@ -817,10 +817,17 @@ def corpus_dedup_victims(
         fams = exact_dedup(docs, id_col, text_col).filter(
             F.col("n_dups") > 1
         ).select("text_hash", "keep_id")
+        hashed = docs.select(F.md5(F.col(text_col)).alias("text_hash"),
+                             F.col(id_col))
+        # NULL-SAFE equality: md5(NULL text) is NULL, and exact_dedup's
+        # groupBy treats all NULL-text docs as one family — a plain
+        # equi-join would never match them and silently retain every
+        # NULL-text duplicate (r05 review finding)
         return (
-            docs.select(F.md5(F.col(text_col)).alias("text_hash"),
-                        F.col(id_col))
-            .join(F.broadcast(fams), "text_hash")
+            hashed.join(
+                F.broadcast(fams),
+                hashed["text_hash"].eqNullSafe(fams["text_hash"]),
+            )
             .filter(F.col(id_col) != F.col("keep_id"))
             .select(id_col)
         )
@@ -858,11 +865,16 @@ def estimate_candidate_pair_mass(
     candidate-pair rows ``ngram_jaccard_pairs`` will explode. One
     profile job over the vocabulary-sized df relation (the corpus is
     scanned once, reduced map-side to per-shingle counts); the result is
-    a single driver scalar."""
-    sh = shingles_df(docs, n, id_col, text_col)
+    a single driver scalar. The df cap is applied as a plain filter on
+    the aggregated counts — equivalent to ``_cap_group_size`` (which
+    drops whole groups above the cap) without its corpus-wide WindowExec
+    sort, since only the per-shingle df matters here."""
+    dfr = (
+        shingles_df(docs, n, id_col, text_col)
+        .groupBy("shingle").agg(F.count("*").alias("df"))
+    )
     if max_shingle_df:
-        sh = _cap_group_size(sh, ["shingle"], max_shingle_df)
-    dfr = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        dfr = dfr.filter(F.col("df") <= max_shingle_df)
     row = dfr.agg(
         F.coalesce(
             F.sum((F.col("df") * (F.col("df") - 1) / 2).cast("long")),

@@ -811,7 +811,7 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       ((2 * sum(cast(l_quantity AS bigint)) * 10000 + count(*))
+       ((2 * sum(cast(floor(l_quantity) AS bigint)) * 10000 + count(*))
         // (2 * count(*))) / 10000.0 AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -1087,7 +1087,7 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REL_SMALL_QTY_REVENUE = """
 WITH thr AS (
     SELECT l_partkey,
-           (2000000 * sum(cast(l_quantity AS bigint)) + 5 * count(*))
+           (2000000 * sum(cast(floor(l_quantity) AS bigint)) + 5 * count(*))
            // (10 * count(*)) AS thr_e6
     FROM lineitem GROUP BY l_partkey
 )
@@ -1097,7 +1097,7 @@ FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN thr USING (l_partkey)
 WHERE p_brand = 'Brand#4'
-  AND cast(l_quantity AS bigint) * 1000000 < thr_e6
+  AND cast(floor(l_quantity) AS bigint) * 1000000 < thr_e6
 """
 
 
@@ -2813,7 +2813,9 @@ def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_parallel(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=1000)
-    kid = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    from .canonicalize import fixed_width_key
+
+    kid = lambda c: fixed_width_key(F.col(c))  # noqa: E731
     edges = pairs.select(kid("id_a").alias("src"), kid("id_b").alias("dst"))
     comp = connected_components(edges)
     return (
@@ -2849,15 +2851,15 @@ inter AS (
     GROUP BY a.id, b.id
 ),
 pairs AS (
-    SELECT lpad(cast(id_a AS varchar), 12, '0') AS src,
-           lpad(cast(id_b AS varchar), 12, '0') AS dst
+    SELECT lpad(cast(id_a AS varchar), 20, '0') AS src,
+           lpad(cast(id_b AS varchar), 20, '0') AS dst
     FROM inter
     JOIN sz sa ON sa.id = id_a
     JOIN sz sb ON sb.id = id_b
     WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
 ),
 edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-nodes AS (SELECT lpad(cast(doc_id AS varchar), 12, '0') AS node FROM documents),
+nodes AS (SELECT lpad(cast(doc_id AS varchar), 20, '0') AS node FROM documents),
 reach AS (
     SELECT node, node AS comp FROM nodes
     UNION
@@ -4624,8 +4626,12 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id") != F.col("query_id")
         )
     )
+    # zero-norm guard: 0/0 is NaN in Spark (and NaN compares GREATER
+    # than any number in Spark's ordering, so it would pass the
+    # threshold) but NULL in DuckDB (dropped) — drop it on both engines
     return (
-        scored.filter(F.round(F.col("cosine"), 6) >= 0.2)
+        scored.filter(~F.isnan("cosine")
+                      & (F.round(F.col("cosine"), 6) >= 0.2))
         .select("query_id", "vec_id",
                 F.round("cosine", 6).alias("cosine"))
     )

@@ -60,8 +60,14 @@ def guard_brute_force(df: DataFrame, max_rows: int | None, scale_path: str) -> N
 
 
 def with_cosine(pairs: DataFrame, a: str = "qvec", b: str = "embedding") -> DataFrame:
+    """Cosine column over (a, b) vector pairs. Zero-norm vectors yield
+    NULL (try_divide) — the same result DuckDB's x/0.0 produces — instead
+    of an ANSI DIVIDE_BY_ZERO error; every consumer's threshold filter
+    then drops the row on both engines."""
     return pairs.withColumn(
-        "cosine", _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+        "cosine",
+        F.try_divide(_dot(F.col(a), F.col(b)),
+                     _norm(F.col(a)) * _norm(F.col(b))),
     )
 
 

@@ -137,7 +137,11 @@ def range_join(
         # salt over the FULL right row, not just right_ts: the most common
         # real skew shape is an event burst at one identical timestamp,
         # and hash(right_ts) would send that whole burst to a single
-        # sub-partition — splitting nothing exactly where it matters
+        # sub-partition — splitting nothing exactly where it matters.
+        # Preconditions this adds: every right column must be hashable
+        # (drop MapType columns before salting), and rows identical in
+        # ALL columns still co-locate — carry a unique id column on the
+        # right side if exact duplicates can burst
         r = r.withColumn(
             "_salt",
             F.pmod(F.hash(*[F.col(c) for c in right.columns]), salt),

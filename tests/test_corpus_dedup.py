@@ -108,3 +108,32 @@ def test_jaccard_routing_exact_within_budget_lsh_beyond(spark):
                     docs, pair_budget=mass - 1).collect()}
     assert rerouted == lsh
     assert rerouted <= exact
+
+
+def test_cluster_victims_survive_13_digit_ids(spark):
+    # r05 review finding: the old width-12 key TRUNCATED 13-digit ids
+    # (Spark lpad truncates overlong input), merging distinct ids into
+    # one node and emitting zero victims; the full-int64-width key must
+    # keep min-id-per-cluster semantics at any long id
+    from autoner_spark.dedup import cluster_victims_from_pairs
+
+    a, b, c = 1_000_000_000_001, 1_000_000_000_002, 1_000_000_000_003
+    pairs = spark.createDataFrame(
+        [(a, c, 0.9), (b, c, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    victims = {r.doc_id
+               for r in cluster_victims_from_pairs(pairs).collect()}
+    assert victims == {b, c}
+
+
+def test_exact_dedup_null_text_family_still_dedups(spark):
+    # md5(NULL) is NULL; the victims join must be null-safe so a family
+    # of NULL-text docs keeps exactly the min id (r05 review finding)
+    from autoner_spark.dedup import apply_corpus_dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text"), (4, None)],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in apply_corpus_dedup(docs, "exact").collect()}
+    assert kept == {1, 3}

@@ -182,3 +182,26 @@ def test_range_search_agrees_with_brute_force(spark):
     for (vid, c) in got:
         (exp_c,) = [e for v, e in expect if v == vid]
         assert abs(c - exp_c) <= 1e-6
+
+
+def test_range_search_drops_zero_norm_vectors_on_both_engines(spark,
+                                                              tmp_path):
+    # 0/0 cosine is NaN in Spark (and NaN > any number in Spark's
+    # ordering!) but NULL in DuckDB — both engines must drop the row
+    import duckdb
+
+    from autoner_spark.queries import ORACLE_SQL, QUERIES
+
+    spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    rows = QUERIES["sim_range_search"](spark, str(tmp_path)).collect()
+    assert {r.vec_id for r in rows} == {1}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    duck = con.execute(ORACLE_SQL["sim_range_search"]).fetchall()
+    assert {r[1] for r in duck} == {1}
