@@ -423,8 +423,12 @@ def main() -> None:
     # Alternating levels exposes both to the same windows, and min picks
     # each level's clean-window sample — the capability estimate the
     # efficiency ratio is meant to compare.
+    # 3 cycles (r05: a 2-cycle run read 0.783 because BOTH lo samples
+    # landed in one throttling window; a 3-cycle rerun of identical code
+    # read 0.809, and the spark-submit deployment shape 0.822 — the
+    # extra ~45s buys the min() a clean-window sample per level)
     los, his = [], []
-    for _ in range(2):
+    for _ in range(3):
         los.append(tag_run(lo, corpus_path, trie, runs=1))
         his.append(tag_run(hi, corpus_path, trie, runs=1))
     t_lo, t_hi = min(los), min(his)
