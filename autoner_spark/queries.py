@@ -4655,6 +4655,135 @@ FROM scored WHERE round(cosine, 6) >= 0.2
 """
 
 
+
+def q_kg_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple support scoring: evidence counts per (subj, has_type, obj)
+    triple — total supporting mentions and distinct conversations — the
+    confidence signal a KG consumer ranks assertions by. Composes the
+    triples chain and aggregates on the (entity x type)-bounded key set;
+    the distinct-conv count is exact (count distinct inside the same
+    grouped aggregation, one shuffle)."""
+    t = q_kg_triples_exact(spark, sf_dir).filter(
+        F.col("pred") == "has_type"
+    )
+    return t.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("support"),
+        F.countDistinct("conv_id").cast("int").alias("n_convs"),
+    )
+
+
+SQL_KG_TRIPLE_SUPPORT = f"""
+WITH RECURSIVE {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE}, {_CC_CTES},
+linked AS (
+    SELECT m.*, concat('ent:', c.component) AS subj
+    FROM mentions m JOIN components c USING (surface)
+),
+t AS (
+    SELECT subj, 'has_type' AS pred,
+           unnest(string_split(entity_type, ',')) AS obj, conv_id
+    FROM linked
+)
+SELECT subj, pred, obj, count(*) AS support,
+       cast(count(DISTINCT conv_id) AS integer) AS n_convs
+FROM t GROUP BY subj, pred, obj
+"""
+
+
+def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity duplication signal (the Lee et al. '22
+    "Deduplicating Training Data" shape, window-hash approximation of
+    the suffix-array pass): per document, the fraction of its 8-token
+    windows that also occur in ANOTHER document. Plan: positional
+    (non-distinct) windows stream once; the distinct-doc window
+    frequency is one aggregation over the window vocabulary; the join
+    back is SHUFFLE_HASH on the window key (both sides corpus-growing —
+    never a broadcast build, the r04 scale-bug class); per-doc fractions
+    are one algebraic aggregation."""
+    from .dedup import shingles_df
+
+    d = load_parallel(spark, sf_dir, "documents")
+    win = shingles_df(d, n=8, distinct=False)
+    dfr = (
+        win.distinct()
+        .groupBy("shingle")
+        .agg(F.count("*").alias("docs_with"))
+    )
+    return (
+        win.join(dfr.hint("shuffle_hash"), "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_windows"),
+            F.sum(F.when(F.col("docs_with") >= 2, 1).otherwise(0))
+            .cast("int").alias("n_dup_windows"),
+        )
+        .select(
+            F.col("id").alias("doc_id"), "n_windows", "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+            .alias("dup_fraction"),
+        )
+    )
+
+
+SQL_TEXT_SUBSTRING_DEDUP = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+win AS (
+    SELECT doc_id,
+           concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                     lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                     lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                     lead(tok, 7) OVER w) AS sh,
+           lead(tok, 7) OVER w AS t8
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+w2 AS (SELECT doc_id, sh FROM win WHERE t8 IS NOT NULL),
+dfr AS (
+    SELECT sh, count(DISTINCT doc_id) AS docs_with FROM w2 GROUP BY sh
+)
+SELECT doc_id, cast(count(*) AS integer) AS n_windows,
+       cast(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS integer)
+           AS n_dup_windows,
+       round(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_fraction
+FROM w2 JOIN dfr USING (sh)
+GROUP BY doc_id
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the fingerprint-clustering prep
+    step): lowercase, strip non-alphanumerics to spaces, collapse runs,
+    trim — then a stable md5 fingerprint of the canonical form. Pure
+    map stage, zero shuffle; idempotent on already-clean text."""
+    d = load_parallel(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("int").alias("norm_len"),
+        F.md5(norm).alias("norm_fingerprint"),
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       cast(length(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS integer) AS norm_len,
+       md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS norm_fingerprint
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4671,7 +4800,9 @@ FROM scored WHERE round(cosine, 6) >= 0.2
 #       kg_labels_dp) LAST when space is short: they are byte-pinned
 #       against the compiled reference binary by pytest every run, so a
 #       driver row adds the least marginal evidence.
-# The r05 window = 12 new + 8 changed + all 30 remaining r03-stale rows.
+# The r05 window = 15 new + 8 changed + 27 r03-stale rows (kg_transcripts,
+# kg_dict_core, text_token_count_bpe deferred: constant/trivially-map-only
+# derivations pinned by other queries and pytests).
 QUERIES = {
     # --- (1) new this round (r05) ---
     "kg_entity_pmi": q_kg_entity_pmi,
@@ -4685,6 +4816,9 @@ QUERIES = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_zipf_slope": q_text_zipf_slope,
     "sim_range_search": q_sim_range_search,
+    "kg_triple_support": q_kg_triple_support,
+    "text_substring_dedup": q_text_substring_dedup,
+    "text_normalize": q_text_normalize,
     "dedup_jaccard_routed": q_dedup_jaccard_routed,
     # --- (1) changed this round (had r04 rows) ---
     "rel_rolling_spend": q_rel_rolling_spend,
@@ -4705,8 +4839,6 @@ QUERIES = {
     "rel_pivot_status": q_rel_pivot_status,
     "rel_time_rollup": q_rel_time_rollup,
     # --- (2) stale since r03 (r04 class-4) — window ends here ---
-    "kg_transcripts": q_kg_transcripts,
-    "kg_dict_core": q_kg_dict_core,
     "kg_mentions_exact": q_kg_mentions_exact,
     "kg_entity_link": q_kg_entity_link,
     "kg_canonicalize_cc": q_kg_canonicalize_cc,
@@ -4728,6 +4860,10 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "text_winnow_fp": q_text_winnow_fp,
     "text_token_count_bpe": q_text_token_count_bpe,
+    # deferred from the r05 window to fit the 3 wave-2 queries:
+    # constant/near-constant derivations pinned elsewhere
+    "kg_transcripts": q_kg_transcripts,
+    "kg_dict_core": q_kg_dict_core,
     # --- (3) green r04 rows: r04-new block ---
     "sim_kmeans_centroids": q_sim_kmeans_centroids,
     "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
@@ -4785,6 +4921,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "kg_triple_support": SQL_KG_TRIPLE_SUPPORT,
+    "text_substring_dedup": SQL_TEXT_SUBSTRING_DEDUP,
+    "text_normalize": SQL_TEXT_NORMALIZE,
     "kg_entity_pmi": SQL_KG_ENTITY_PMI,
     "kg_common_neighbors": SQL_KG_COMMON_NEIGHBORS,
     "kg_kcore": SQL_KG_KCORE,

@@ -30,6 +30,7 @@ PERSIST_BEARING = [
     "kg_entity_pmi",           # persisted per-turn mention relation
     "kg_common_neighbors",     # persisted symmetric edge list
     "kg_kcore",                # persisted edge list across peel rounds
+    "kg_triple_support",       # composes kg_triples_exact's persist
 ]
 
 

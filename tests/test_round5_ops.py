@@ -205,3 +205,50 @@ def test_range_search_drops_zero_norm_vectors_on_both_engines(spark,
     )
     duck = con.execute(ORACLE_SQL["sim_range_search"]).fetchall()
     assert {r[1] for r in duck} == {1}
+
+
+def test_triple_support_sums_to_has_type_count(spark):
+    from autoner_spark.queries import QUERIES
+
+    triples = QUERIES["kg_triples_exact"](spark, SF)
+    n_has_type = triples.filter(F.col("pred") == "has_type").count()
+    from autoner_spark.caching import release_caches
+
+    release_caches()
+    rows = QUERIES["kg_triple_support"](spark, SF).collect()
+    assert sum(r.support for r in rows) == n_has_type
+    for r in rows:
+        assert 1 <= r.n_convs <= r.support
+
+
+def test_substring_dedup_flags_shared_window_only(spark, tmp_path):
+    from autoner_spark.queries import QUERIES
+
+    shared = "a b c d e f g h"            # exactly one 8-token window
+    docs = [(0, shared + " x y z"),       # 4 windows, 1 shared
+            (1, "p q " + shared),         # 3 windows, 1 shared
+            (2, "u v w x y z q p a b")]   # 3 windows, none shared
+    spark.createDataFrame(
+        [(i, t, "s") for i, t in docs],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+           for r in QUERIES["text_substring_dedup"](
+               spark, str(tmp_path)).collect()}
+    assert out[0] == (4, 1, 0.25)
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (3, 0, 0.0)
+
+
+def test_normalize_canonicalizes_messy_text(spark, tmp_path):
+    from autoner_spark.queries import QUERIES
+
+    spark.createDataFrame(
+        [(0, "Hello,   WORLD!! 42", "s"), (1, "hello world 42", "s")],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {r.doc_id: r for r in QUERIES["text_normalize"](
+        spark, str(tmp_path)).collect()}
+    # both canonicalize to "hello world 42" -> identical fingerprints
+    assert rows[0].norm_fingerprint == rows[1].norm_fingerprint
+    assert rows[0].norm_len == len("hello world 42")
