@@ -108,6 +108,11 @@ SF1_QUERIES = [
     # round-4 additions that read only sf1-materialized tables
     "text_bm25_topk",
     "text_inverted_index",
+    # round-5 additions (documents-derived; probed once at sf1 before
+    # listing: 10.6s / 1.2s / 3.2s)
+    "text_substring_dedup",
+    "kg_turn_dedup",
+    "text_tfidf_topk",
 ]
 # drop-stat observability recorded (values, not timings) next to the sf1
 # numbers for the capped dedup operators
