@@ -4698,11 +4698,15 @@ def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency is one aggregation over the window vocabulary; the join
     back is SHUFFLE_HASH on the window key (both sides corpus-growing —
     never a broadcast build, the r04 scale-bug class); per-doc fractions
-    are one algebraic aggregation."""
+    are one algebraic aggregation. The positional window relation is
+    PERSISTED: it feeds both the distinct-doc frequency aggregation and
+    the join probe, and without the persist the scan + 8-gram explosion
+    (the query's largest intermediate) runs twice."""
+    from .caching import persist_tracked
     from .dedup import shingles_df
 
     d = load_parallel(spark, sf_dir, "documents")
-    win = shingles_df(d, n=8, distinct=False)
+    win = persist_tracked(shingles_df(d, n=8, distinct=False))
     dfr = (
         win.distinct()
         .groupBy("shingle")
@@ -4755,13 +4759,21 @@ GROUP BY doc_id
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (the fingerprint-clustering prep
-    step): lowercase, strip non-alphanumerics to spaces, collapse runs,
-    trim — then a stable md5 fingerprint of the canonical form. Pure
-    map stage, zero shuffle; idempotent on already-clean text."""
+    step): strip non-ASCII, lowercase, strip non-alphanumerics to
+    spaces, collapse runs, trim — then a stable md5 fingerprint of the
+    canonical form. Pure map stage, zero shuffle; idempotent on
+    already-clean text.
+
+    The ASCII pre-strip runs BEFORE lower(): Java's full case mapping
+    (Spark) and DuckDB's simple mapping diverge on characters like
+    U+0130 (Spark lowers it to 'i' + combining dot), so lowering may
+    only ever see ASCII — the same ASCII-only case-folding discipline
+    the reference tagger pins (CLAUDE.md)."""
     d = load_parallel(spark, sf_dir, "documents")
+    ascii_only = F.regexp_replace(F.col("text"), "[^ -~]", " ")
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            F.regexp_replace(F.lower(ascii_only), "[^a-z0-9 ]", " "),
             " +", " ",
         )
     )
@@ -4775,10 +4787,12 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_NORMALIZE = """
 SELECT doc_id,
        cast(length(trim(regexp_replace(
-           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           regexp_replace(lower(regexp_replace(text, '[^ -~]', ' ', 'g')),
+                          '[^a-z0-9 ]', ' ', 'g'),
            ' +', ' ', 'g'))) AS integer) AS norm_len,
        md5(trim(regexp_replace(
-           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           regexp_replace(lower(regexp_replace(text, '[^ -~]', ' ', 'g')),
+                          '[^a-z0-9 ]', ' ', 'g'),
            ' +', ' ', 'g'))) AS norm_fingerprint
 FROM documents
 """
@@ -4838,7 +4852,8 @@ QUERIES = {
     "rel_orders_exists": q_rel_orders_exists,
     "rel_pivot_status": q_rel_pivot_status,
     "rel_time_rollup": q_rel_time_rollup,
-    # --- (2) stale since r03 (r04 class-4) — window ends here ---
+    # --- (2) stale since r03 (r04 class-4); the 50-row window ends
+    #     at this section's LAST entry (text_winnow_fp) ---
     "kg_mentions_exact": q_kg_mentions_exact,
     "kg_entity_link": q_kg_entity_link,
     "kg_canonicalize_cc": q_kg_canonicalize_cc,
@@ -4859,9 +4874,9 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "text_winnow_fp": q_text_winnow_fp,
-    "text_token_count_bpe": q_text_token_count_bpe,
     # deferred from the r05 window to fit the 3 wave-2 queries:
-    # constant/near-constant derivations pinned elsewhere
+    # constant / trivially-map-only derivations pinned elsewhere
+    "text_token_count_bpe": q_text_token_count_bpe,
     "kg_transcripts": q_kg_transcripts,
     "kg_dict_core": q_kg_dict_core,
     # --- (3) green r04 rows: r04-new block ---

@@ -31,6 +31,7 @@ PERSIST_BEARING = [
     "kg_common_neighbors",     # persisted symmetric edge list
     "kg_kcore",                # persisted edge list across peel rounds
     "kg_triple_support",       # composes kg_triples_exact's persist
+    "text_substring_dedup",    # persisted positional window relation
 ]
 
 

@@ -252,3 +252,30 @@ def test_normalize_canonicalizes_messy_text(spark, tmp_path):
     # both canonicalize to "hello world 42" -> identical fingerprints
     assert rows[0].norm_fingerprint == rows[1].norm_fingerprint
     assert rows[0].norm_len == len("hello world 42")
+
+
+def test_normalize_non_ascii_agrees_across_engines(spark, tmp_path):
+    # U+0130 ('I' with dot): Java's FULL case mapping lowers it to
+    # 'i' + combining dot while DuckDB's simple mapping yields plain
+    # 'i' — the ASCII pre-strip must run BEFORE lower() so both engines
+    # see identical input (r05 review finding)
+    import duckdb
+
+    from autoner_spark.queries import ORACLE_SQL, QUERIES
+
+    spark.createDataFrame(
+        [(0, "tok İstanbul tok", "s"), (1, "tok stanbul tok", "s")],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    srows = sorted(
+        tuple(r) for r in QUERIES["text_normalize"](
+            spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    drows = sorted(tuple(r) for r in
+                   con.execute(ORACLE_SQL["text_normalize"]).fetchall())
+    assert srows == drows
