@@ -4798,6 +4798,109 @@ FROM documents
 """
 
 
+
+def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights per source domain (the DoReMi-lite prep
+    step): each source's token share and the resampling weight that
+    would equalize shares (target = uniform across sources). One
+    aggregation keyed by source; corpus totals are one broadcast row;
+    the division structure is identical in both engines (ints into one
+    double division) so 6dp rounding agrees."""
+    d = load_parallel(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total_tokens"), 6)
+            .alias("token_share"),
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_sources") * F.col("n_tokens").cast("double")),
+                6,
+            ).alias("mix_weight"),
+        )
+    )
+
+
+SQL_TEXT_DOMAIN_MIX = """
+WITH per AS (
+    SELECT source, count(*) AS n_docs,
+           sum(cast(len(string_split(text, ' ')) AS bigint)) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT cast(sum(n_tokens) AS bigint) AS total_tokens,
+           cast(count(*) AS bigint) AS n_sources
+    FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / total_tokens, 6) AS token_share,
+       round(total_tokens
+             / (n_sources * cast(n_tokens AS double)), 6) AS mix_weight
+FROM per, tot
+"""
+
+
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood size per entity: distinct nodes reachable in
+    at most two steps (self excluded) next to the direct degree — the
+    local-expansion profile that separates hubs from bridge nodes. One
+    wedge join through the shared neighbor plus a union with the direct
+    edges, all vocabulary-bounded; the edge list is persisted (wedge +
+    direct + degree consumers)."""
+    from .caching import persist_tracked
+
+    edges = persist_tracked(_cooc_edges(spark, sf_dir))
+    two = (
+        edges.select(F.col("dst").alias("n"), F.col("src").alias("a"))
+        .join(edges.select(F.col("src").alias("n"),
+                           F.col("dst").alias("b")), "n")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    reach = two.unionByName(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return (
+        reach.groupBy("a").agg(F.count("*").alias("n_within_2"))
+        .join(deg, reach["a"] == deg["src"])
+        .select(
+            F.col("a").alias("node"),
+            F.col("degree").cast("int").alias("degree"),
+            F.col("n_within_2").cast("int").alias("n_within_2"),
+        )
+    )
+
+
+SQL_KG_TWO_HOP = f"""
+WITH {_COOC_EDGES_CTE},
+two AS (
+    SELECT e1.src AS a, e2.dst AS b
+    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    WHERE e1.src <> e2.dst
+),
+reach AS (
+    SELECT DISTINCT a, b
+    FROM (SELECT a, b FROM two UNION ALL SELECT src, dst FROM edges)
+),
+deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+SELECT a AS node, cast(degree AS integer) AS degree,
+       cast(count(*) AS integer) AS n_within_2
+FROM reach JOIN deg ON deg.src = a
+GROUP BY a, degree
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4814,9 +4917,10 @@ FROM documents
 #       kg_labels_dp) LAST when space is short: they are byte-pinned
 #       against the compiled reference binary by pytest every run, so a
 #       driver row adds the least marginal evidence.
-# The r05 window = 15 new + 8 changed + 27 r03-stale rows (kg_transcripts,
-# kg_dict_core, text_token_count_bpe deferred: constant/trivially-map-only
-# derivations pinned by other queries and pytests).
+# The r05 window = 17 new + 8 changed + 25 r03-stale rows (deferred, in
+# order of least marginal evidence: text_token_count_bpe, kg_transcripts,
+# kg_dict_core, dedup_embedding_cosine, rel_setop_customers — constant,
+# trivially-map-only, or guarded-anchor queries pinned elsewhere).
 QUERIES = {
     # --- (1) new this round (r05) ---
     "kg_entity_pmi": q_kg_entity_pmi,
@@ -4833,6 +4937,8 @@ QUERIES = {
     "kg_triple_support": q_kg_triple_support,
     "text_substring_dedup": q_text_substring_dedup,
     "text_normalize": q_text_normalize,
+    "text_domain_mix": q_text_domain_mix,
+    "kg_two_hop": q_kg_two_hop,
     "dedup_jaccard_routed": q_dedup_jaccard_routed,
     # --- (1) changed this round (had r04 rows) ---
     "rel_rolling_spend": q_rel_rolling_spend,
@@ -4867,15 +4973,16 @@ QUERIES = {
     "rel_top_customers_window": q_rel_top_customers_window,
     "rel_order_revenue_join": q_rel_order_revenue_join,
     "rel_rollup_orders": q_rel_rollup_orders,
-    "rel_setop_customers": q_rel_setop_customers,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "text_winnow_fp": q_text_winnow_fp,
-    # deferred from the r05 window to fit the 3 wave-2 queries:
-    # constant / trivially-map-only derivations pinned elsewhere
+    # deferred from the r05 window to fit the wave-2/3 queries:
+    # constant, trivially-map-only, or guarded-anchor queries whose
+    # behavior is pinned by other queries/pytests
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "rel_setop_customers": q_rel_setop_customers,
     "text_token_count_bpe": q_text_token_count_bpe,
     "kg_transcripts": q_kg_transcripts,
     "kg_dict_core": q_kg_dict_core,
@@ -4936,6 +5043,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "text_domain_mix": SQL_TEXT_DOMAIN_MIX,
+    "kg_two_hop": SQL_KG_TWO_HOP,
     "kg_triple_support": SQL_KG_TRIPLE_SUPPORT,
     "text_substring_dedup": SQL_TEXT_SUBSTRING_DEDUP,
     "text_normalize": SQL_TEXT_NORMALIZE,

@@ -32,6 +32,7 @@ PERSIST_BEARING = [
     "kg_kcore",                # persisted edge list across peel rounds
     "kg_triple_support",       # composes kg_triples_exact's persist
     "text_substring_dedup",    # persisted positional window relation
+    "kg_two_hop",              # persisted symmetric edge list
 ]
 
 

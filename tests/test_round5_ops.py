@@ -279,3 +279,29 @@ def test_normalize_non_ascii_agrees_across_engines(spark, tmp_path):
     drows = sorted(tuple(r) for r in
                    con.execute(ORACLE_SQL["text_normalize"]).fetchall())
     assert srows == drows
+
+
+def test_domain_mix_shares_sum_to_one_and_weights_equalize(spark):
+    from autoner_spark.queries import QUERIES
+
+    rows = QUERIES["text_domain_mix"](spark, SF).collect()
+    assert rows
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    # resampled share = share * weight must be ~uniform across sources
+    n = len(rows)
+    for r in rows:
+        assert abs(r.token_share * r.mix_weight - 1.0 / n) < 1e-4
+
+
+def test_two_hop_on_path_graph(spark, monkeypatch):
+    # path a-b-c-d: a reaches {b,c}, b reaches {a,c,d}, symmetric
+    from autoner_spark import queries as Q
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "surface_a string, surface_b string",
+    )
+    monkeypatch.setattr(Q, "q_kg_cooccurrence", lambda s, sf: pairs)
+    out = {r.node: (r.degree, r.n_within_2)
+           for r in Q.q_kg_two_hop(spark, SF).collect()}
+    assert out == {"a": (1, 2), "b": (2, 3), "c": (2, 3), "d": (1, 2)}
