@@ -4805,13 +4805,17 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     would equalize shares (target = uniform across sources). One
     aggregation keyed by source; corpus totals are one broadcast row;
     the division structure is identical in both engines (ints into one
-    double division) so 6dp rounding agrees."""
+    double division) so 6dp rounding agrees. The per-source aggregate is
+    persisted: it feeds both the totals row and the final projection,
+    and without the persist the corpus tokenize+aggregate runs twice."""
+    from .caching import persist_tracked
+
     d = load_parallel(spark, sf_dir, "documents")
-    per = d.groupBy("source").agg(
+    per = persist_tracked(d.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
         .alias("n_tokens"),
-    )
+    ))
     tot = per.agg(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.count("*").cast("long").alias("n_sources"),
@@ -4871,9 +4875,11 @@ def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     ).distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    # deg is vocabulary-bounded -> broadcast, so the large reach relation
+    # is never shuffled just to meet it (same call as common_neighbors)
     return (
         reach.groupBy("a").agg(F.count("*").alias("n_within_2"))
-        .join(deg, reach["a"] == deg["src"])
+        .join(F.broadcast(deg), reach["a"] == deg["src"])
         .select(
             F.col("a").alias("node"),
             F.col("degree").cast("int").alias("degree"),

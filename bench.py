@@ -428,27 +428,21 @@ def main() -> None:
     # Alternating levels exposes both to the same windows, and min picks
     # each level's clean-window sample — the capability estimate the
     # efficiency ratio is meant to compare.
-    # 3 cycles (r05: a 2-cycle run read 0.783 because BOTH lo samples
-    # landed in one throttling window; a 3-cycle rerun of identical code
-    # read 0.809, and the spark-submit deployment shape 0.822 — the
-    # extra ~45s buys the min() a clean-window sample per level)
+    # FIXED protocol of 5 interleaved cycles, per-level minima. 5, not
+    # the former 2/3: a 2-cycle r05 run read 0.783 because both lo
+    # samples landed in one throttling window while identical code
+    # re-measured 0.809 (3 cycles) and 0.822 (spark-submit shape) — the
+    # extra cycles buy each level a clean-window sample. The cycle count
+    # is UNCONDITIONAL by design: an adaptive keep-sampling-while-<0.8
+    # rule is one-sided optional stopping (it stops at the first lucky
+    # crossing and never re-measures a passing value), which biases the
+    # reported efficiency upward exactly at the pass boundary.
     los, his = [], []
-    for _ in range(3):
+    for _ in range(5):
         los.append(tag_run(lo, corpus_path, trie, runs=1))
         his.append(tag_run(hi, corpus_path, trie, runs=1))
     t_lo, t_hi = min(los), min(his)
     efficiency = (t_lo * lo) / (t_hi * hi)
-    # adaptive top-up: a sub-0.8 reading on this box has so far ALWAYS
-    # been a throttling-window sample (identical code re-measures >= 0.8;
-    # BENCH.md r05 note), so buy up to 2 more clean-window chances before
-    # accepting it — min() keeps every earlier sample valid
-    extra = 0
-    while efficiency < 0.8 and extra < 2:
-        extra += 1
-        los.append(tag_run(lo, corpus_path, trie, runs=1))
-        his.append(tag_run(hi, corpus_path, trie, runs=1))
-        t_lo, t_hi = min(los), min(his)
-        efficiency = (t_lo * lo) / (t_hi * hi)
 
     # SECONDARY saturated pairing (cpus//4 -> cpus): at the hi level the
     # JVM task threads + Python workers oversubscribe the box 2x — a

@@ -33,6 +33,7 @@ PERSIST_BEARING = [
     "kg_triple_support",       # composes kg_triples_exact's persist
     "text_substring_dedup",    # persisted positional window relation
     "kg_two_hop",              # persisted symmetric edge list
+    "text_domain_mix",         # persisted per-source aggregate
 ]
 
 
