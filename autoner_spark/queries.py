@@ -4908,6 +4908,563 @@ GROUP BY a, degree
 
 
 # ---------------------------------------------------------------------------
+# round-5 wave 4: sketches, training-order, link prediction, TPC-H shapes,
+# contamination scoring, bigram LM, exact-moment statistics, ANN recall
+# ---------------------------------------------------------------------------
+
+
+def q_rel_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over events.user_id,
+    k=64: the mergeable bottom-k sketch (Bar-Yossef et al.) as a
+    relational plan. The hash column is deduped with map-side partial
+    aggregation and the k smallest survive via orderBy+limit — Spark
+    compiles that to TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows/partition), so no global sort ever materializes.
+    Estimator: (k-1) * 2^32 / h_k in pure bigint math (hash range is the
+    md5-prefix u32); when fewer than k distinct hashes exist the sketch
+    IS the exact answer. ``true_distinct`` is the gate's self-check
+    column (a production run drops it — the sketch exists to avoid that
+    exact count)."""
+    k = 64
+    e = load_parallel(spark, sf_dir, "events")
+    from .dedup import md5_int32
+
+    hv = e.select(
+        md5_int32(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+        .alias("hv")
+    ).distinct()
+    kmin = hv.orderBy("hv").limit(k)
+    sk = kmin.agg(
+        F.count("*").cast("long").alias("n_vals"),
+        F.max("hv").alias("kth_hash"),
+    )
+    true = e.agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    est_num = (k - 1) * 4294967296  # (k-1) * 2^32
+    return (
+        sk.crossJoin(F.broadcast(true))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_vals",
+            "kth_hash",
+            F.when(F.col("n_vals") < k, F.col("n_vals"))
+            .otherwise(F.expr(f"cast({est_num} div kth_hash as bigint)"))
+            .alias("est_distinct"),
+            "true_distinct",
+        )
+    )
+
+
+SQL_REL_KMV_DISTINCT = """
+WITH hv AS (
+    SELECT DISTINCT cast(('0x' || substring(md5(concat('kmv:', user_id)),
+                                            1, 8)) AS bigint) AS hv
+    FROM events
+),
+kmin AS (SELECT hv FROM hv ORDER BY hv LIMIT 64),
+sk AS (SELECT cast(count(*) AS bigint) AS n_vals, max(hv) AS kth_hash
+       FROM kmin),
+t AS (SELECT cast(count(DISTINCT user_id) AS bigint) AS true_distinct
+      FROM events)
+SELECT 64 AS k, n_vals, kth_hash,
+       CASE WHEN n_vals < 64 THEN n_vals
+            ELSE cast(270582939648 // kth_hash AS bigint) END AS est_distinct,
+       true_distinct
+FROM sk, t
+"""
+
+
+def q_text_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: a seed-keyed global permutation of the
+    corpus per training epoch — the distributed relational form of the
+    reference's in-memory per-epoch batch shuffle
+    (model_partial_ner/dataset.py:126-130, random.shuffle of the batch
+    order), which round-1 SURVEY sanctioned as dropped (E6). Re-expressed
+    Spark-first it becomes data: position = rank of md5(epoch, doc_id).
+    The rank is a TWO-PASS distributed prefix sum, not a global window:
+    ranks are computed inside 256 md5-prefix buckets (parallel windows)
+    and offset by the cumulated per-bucket counts (a 256-row-per-epoch
+    broadcast relation) — the text_pack_bins discipline, so no epoch ever
+    serializes through one partition. The DuckDB twin keeps the naive
+    single-window form; the gate therefore also pins two-pass == naive."""
+    d = load_parallel(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    ).select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("epoch:"), F.col("epoch").cast("string"),
+                     F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("key"),
+    )
+    keyed = keyed.withColumn(
+        "bucket", F.conv(F.substring("key", 1, 2), 16, 10).cast("int")
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("key", "doc_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w))
+    counts = keyed.groupBy("epoch", "bucket").agg(F.count("*").alias("n"))
+    woff = (
+        Window.partitionBy("epoch").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch", "bucket",
+        F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "epoch", "doc_id",
+            (F.col("off") + F.col("rnk") - 1).cast("long").alias("position"),
+        )
+    )
+
+
+SQL_TEXT_EPOCH_SHUFFLE = """
+WITH keyed AS (
+    SELECT cast(epoch AS integer) AS epoch, doc_id,
+           md5(concat('epoch:', epoch, ':', doc_id)) AS key
+    FROM (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents)
+),
+bucketed AS (
+    SELECT epoch, doc_id, key,
+           cast(('0x' || substring(key, 1, 2)) AS bigint) AS bucket
+    FROM keyed
+)
+SELECT epoch, doc_id,
+       cast(row_number() OVER (PARTITION BY epoch
+                               ORDER BY bucket, key, doc_id) - 1
+            AS bigint) AS position
+FROM bucketed
+"""
+
+
+def q_kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the entity co-occurrence graph:
+    score(a,b) = sum over shared neighbors n of 1/ln(deg(n)) — common
+    neighbors inversely weighted by how promiscuous they are (a hub
+    shared by everyone predicts nothing). Same wedge-join shape as
+    kg_common_neighbors (one equi-join through the shared neighbor,
+    never all-pairs); the degree relation is vocabulary-bounded and
+    broadcast onto the NEIGHBOR column before the wedge aggregate, so
+    the weight rides the existing shuffle. Degree-1 neighbors are
+    excluded (ln 1 = 0 — they also cannot close a wedge). ln-on-integers
+    determinism precedent: kg_entity_pmi / text_unigram_surprisal."""
+    edges = persist_tracked(_cooc_edges(spark, sf_dir))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nd = deg.select(F.col("src").alias("n"), F.col("deg").alias("deg_n"))
+    return (
+        edges.select(F.col("dst").alias("n"), F.col("src").alias("a"))
+        .join(edges.select(F.col("dst").alias("n"),
+                           F.col("src").alias("b")), "n")
+        .filter(F.col("a") < F.col("b"))
+        .join(F.broadcast(nd), "n")
+        .filter(F.col("deg_n") >= 2)
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("int").alias("n_shared"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("deg_n"))), 6)
+            .alias("aa_score"),
+        )
+        .select(F.col("a").alias("surface_a"),
+                F.col("b").alias("surface_b"), "n_shared", "aa_score")
+    )
+
+
+SQL_KG_ADAMIC_ADAR = f"""
+WITH {_COOC_EDGES_CTE},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+SELECT e1.src AS surface_a, e2.src AS surface_b,
+       cast(count(*) AS integer) AS n_shared,
+       round(sum(1.0 / ln(d.deg)), 6) AS aa_score
+FROM edges e1
+JOIN edges e2 ON e1.dst = e2.dst
+JOIN deg d ON d.src = e1.dst
+WHERE e1.src < e2.src AND d.deg >= 2
+GROUP BY e1.src, e2.src
+"""
+
+
+def q_rel_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole-blame supplier): for multi-supplier orders,
+    the suppliers whose lineitem came back returned ('R') while NO other
+    supplier's item on the same order did. The classic form is a double
+    correlated EXISTS / NOT EXISTS self-join; the Spark plan decorrelates
+    it into ONE aggregation over the fact (distinct-supplier and
+    distinct-returned-supplier counts per order) plus one join — two
+    shuffles total instead of three self-join passes, and no fact row is
+    ever widened. The DuckDB twin keeps the literal EXISTS/NOT-EXISTS
+    form, so the gate additionally pins decorrelated == correlated."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    cand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        cand.join(per, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_orders")
+    )
+
+
+SQL_REL_SUPPLIER_WAITING = """
+SELECT s_name, cast(count(*) AS bigint) AS n_orders
+FROM (
+    SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+) w
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+"""
+
+
+def q_rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose revenue exceeds a
+    fraction (1/1600) of TOTAL revenue — a group aggregate compared
+    against a global scalar. The scalar arrives as a broadcast one-row
+    relation (never a collected driver value) and the threshold compare
+    is pure bigint cents math (revenue_cents * 1600 > total_cents): no
+    double ever touches the cut, so no row can sit on a rounding
+    boundary. The per-part aggregate is persisted (total + filter
+    consumers read it once)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    pr = persist_tracked(
+        li.select("l_partkey", cents.alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    total = pr.agg(F.sum("revenue_cents").alias("total_cents"))
+    p = load(spark, sf_dir, "part")
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue_cents") * 1600 > F.col("total_cents"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "revenue_cents")
+    )
+
+
+SQL_REL_IMPORTANT_PARTS = """
+WITH pr AS (
+    SELECT l_partkey,
+           sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint))
+               AS revenue_cents
+    FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT sum(revenue_cents) AS total_cents FROM pr)
+SELECT p_partkey, p_name, revenue_cents
+FROM pr, t
+JOIN part ON p_partkey = l_partkey
+WHERE revenue_cents * 1600 > total_cents
+"""
+
+
+def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    revenue over a shipdate quarter, ties included. Revenue is exact
+    bigint cents; the maximum arrives as a broadcast one-row relation
+    (the sanctioned constant-size crossJoin) rather than an
+    unpartitioned window — the per-supplier aggregate is persisted so
+    the max pass and the filter pass share one computation."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    rev = persist_tracked(
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", cents.alias("cents"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("total_cents"))
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+SQL_REL_TOP_SUPPLIER = """
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint))
+               AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1996-01-01'
+      AND l_shipdate < timestamp '1996-04-01'
+    GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_cents) AS mx FROM rev)
+SELECT s_suppkey, s_name, total_cents
+FROM rev, mx
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_cents = mx
+"""
+
+
+def q_text_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document benchmark-contamination SCORE: the fraction of a
+    document's distinct 4-gram shingles that appear in the eval-set
+    stand-in (doc_id % 20 == 0, the dedup_decontaminate convention) —
+    the scoring form of decontamination, for graded filtering or
+    contamination audits rather than hard drops. Benchmark shingles are
+    broadcast (eval sets are fixed-size); the corpus streams once; the
+    fraction is integer HALF_UP parts-per-million ((2*10^6*hit + tot)
+    div (2*tot)) — no double division near a representable boundary."""
+    from .dedup import shingles_df
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=4)
+    bench = (
+        sh.filter(F.col("id") % 20 == 0).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.filter(F.col("id") % 20 != 0)
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("int").alias("n_hit"),
+        )
+        .select(
+            F.col("id").alias("doc_id"), "n_shingles", "n_hit",
+            F.expr(
+                "cast((2 * 1000000 * cast(n_hit as bigint) + n_shingles)"
+                " div (2 * cast(n_shingles as bigint)) as bigint)"
+            ).alias("frac_ppm"),
+        )
+    )
+
+
+SQL_TEXT_CONTAMINATION_FRAC = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+four AS (
+    SELECT doc_id, concat_ws(' ', tok, lead(tok, 1) OVER w,
+                             lead(tok, 2) OVER w, lead(tok, 3) OVER w)
+               AS shingle,
+           lead(tok, 3) OVER w AS t4
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM four WHERE t4 IS NOT NULL),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 20 = 0)
+SELECT sh.id AS doc_id,
+       cast(count(*) AS integer) AS n_shingles,
+       cast(count(bench.shingle) AS integer) AS n_hit,
+       cast((2 * 1000000 * count(bench.shingle) + count(*))
+            // (2 * count(*)) AS bigint) AS frac_ppm
+FROM sh LEFT JOIN bench USING (shingle)
+WHERE sh.id % 20 <> 0
+GROUP BY sh.id
+"""
+
+
+def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy (mean -ln p(w2|w1) in nats)
+    against the corpus's own bigram MLE — the second-order LM quality
+    signal: formulaic boilerplate (predictable continuations) scores
+    near zero, incoherent token soup scores high. The bigram relation is
+    persisted (model-build + scoring consumers); the conditional model
+    joins back on (w1, w2) with an explicit shuffle-hash hint — the
+    bigram vocabulary grows with the corpus, so it must NEVER be planned
+    as a broadcast build (the r04 scale-bug class). Every scored bigram
+    is in the model by construction (same corpus), so no OOV branch."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " "))
+    ).toDF("doc_id", "pos", "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = persist_tracked(
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        ).filter(F.col("w2").isNotNull())
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    model = c12.join(c1, "w1").select(
+        "w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("logp")
+    )
+    return (
+        bi.join(model.hint("shuffle_hash"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("surprisal_nats"),
+        )
+    )
+
+
+SQL_TEXT_BIGRAM_SURPRISAL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+bi AS (
+    SELECT doc_id, tok AS w1, lead(tok, 1) OVER w AS w2
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bi2 AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi2 GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1),
+model AS (
+    SELECT c12.w1, c12.w2, ln(c12.c12 / cast(c1.c1 AS double)) AS logp
+    FROM c12 JOIN c1 USING (w1)
+)
+SELECT b.doc_id, cast(count(*) AS integer) AS n_bigrams,
+       round(-avg(m.logp), 6) AS surprisal_nats
+FROM bi2 b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+GROUP BY b.doc_id
+"""
+
+
+def q_rel_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    computed from EXACT integer moments: built-in corr() aggregates
+    accumulate doubles in partition order, which is not reproducible
+    across engines (or even across runs at scale). Here the five moments
+    (sum x, sum y, sum xy, sum x^2, sum y^2) are exact integer sums —
+    the square sums as decimal(38,0) in Spark / auto-HUGEINT in DuckDB
+    so they cannot overflow at any sf — and only then cast to double,
+    where both engines round the same exact integer to the same double
+    and the closed-form corr is identical IEEE arithmetic. Map-side
+    combined one-shuffle aggregate; zero-variance groups yield NULL via
+    an explicit guard on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        y.alias("y"),
+    )
+    m = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round((n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)), 6),
+        ).alias("corr_qty_price"),
+    )
+
+
+SQL_REL_CORR_QTY_PRICE = """
+WITH m AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(cast(l_quantity AS bigint)) AS sx,
+           sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS sy,
+           sum(cast(l_quantity AS bigint)
+               * cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS sxy,
+           sum(cast(l_quantity AS bigint) * cast(l_quantity AS bigint))
+               AS sxx,
+           sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)
+               * cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, cast(n AS bigint) AS n,
+       CASE WHEN cast(n AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double) > 0
+             AND cast(n AS double) * cast(syy AS double)
+                 - cast(sy AS double) * cast(sy AS double) > 0
+            THEN round(
+                (cast(n AS double) * cast(sxy AS double)
+                 - cast(sx AS double) * cast(sy AS double))
+                / (sqrt(cast(n AS double) * cast(sxx AS double)
+                        - cast(sx AS double) * cast(sx AS double))
+                   * sqrt(cast(n AS double) * cast(syy AS double)
+                          - cast(sy AS double) * cast(sy AS double))), 6)
+       END AS corr_qty_price
+FROM m
+"""
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality self-evaluation: per-query recall of the IVF index
+    against the exact brute-force top-k (k=3, the sim_ivf_topk
+    configuration) as INTEGER hit counts — the observability query that
+    tells an operator whether n_centroids/nprobe are tuned before
+    shipping an index. The exact side is the guarded correctness-anchor
+    crossJoin; in production recall is estimated on exactly this kind of
+    bounded query sample while the index serves the full corpus. The
+    left join keeps zero-hit queries visible."""
+    from .similarity import brute_force_topk, ivf_topk, queries_from_ids
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, queries_from_ids(emb, 10), k=3)
+    ivf = ivf_topk(emb, k=3, n_centroids=32, max_query_id=10).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(3).cast("int").alias("k"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("int").alias("n_hit"),
+        )
+    )
+
+
+SQL_SIM_IVF_RECALL = f"""
+SELECT x.query_id, 3 AS k, cast(count(i.vec_id) AS integer) AS n_hit
+FROM (
+    WITH {_COSINE_PAIRS_CTE.format(maxq=10)}
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+) x
+LEFT JOIN ({SQL_SIM_IVF_TOPK}) i
+  ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+GROUP BY x.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4923,12 +5480,26 @@ GROUP BY a, degree
 #       kg_labels_dp) LAST when space is short: they are byte-pinned
 #       against the compiled reference binary by pytest every run, so a
 #       driver row adds the least marginal evidence.
-# The r05 window = 17 new + 8 changed + 25 r03-stale rows (deferred, in
-# order of least marginal evidence: text_token_count_bpe, kg_transcripts,
-# kg_dict_core, dedup_embedding_cosine, rel_setop_customers — constant,
-# trivially-map-only, or guarded-anchor queries pinned elsewhere).
+# The r05 window = 27 new (wave 1-4) + 8 changed + 15 r03-stale rows.
+# Deferred r03-stale rows, in order of least marginal evidence: queries
+# byte/semantics-pinned by pytest or subsumed by an in-window sibling
+# (kg_turn_text_equality/kg_mentions_markup: compiled-harness parity;
+# kg_canonicalize_cc: CC pytest + dedup_cluster_assign r04 row;
+# rel_rollup_orders: rel_cube_orders r05 row; eval_pr: eval_chunking/
+# typing r04 rows; plus constant/trivially-map-only queries).
 QUERIES = {
-    # --- (1) new this round (r05) ---
+    # --- (1) new this round (r05 wave 4) ---
+    "rel_kmv_distinct": q_rel_kmv_distinct,
+    "text_epoch_shuffle": q_text_epoch_shuffle,
+    "kg_adamic_adar": q_kg_adamic_adar,
+    "rel_supplier_waiting": q_rel_supplier_waiting,
+    "rel_important_parts": q_rel_important_parts,
+    "rel_top_supplier": q_rel_top_supplier,
+    "text_contamination_frac": q_text_contamination_frac,
+    "text_bigram_surprisal": q_text_bigram_surprisal,
+    "rel_corr_qty_price": q_rel_corr_qty_price,
+    "sim_ivf_recall": q_sim_ivf_recall,
+    # --- (1) new this round (r05 waves 1-3) ---
     "kg_entity_pmi": q_kg_entity_pmi,
     "kg_common_neighbors": q_kg_common_neighbors,
     "kg_kcore": q_kg_kcore,
@@ -4968,8 +5539,17 @@ QUERIES = {
     #     at this section's LAST entry (text_winnow_fp) ---
     "kg_mentions_exact": q_kg_mentions_exact,
     "kg_entity_link": q_kg_entity_link,
-    "kg_canonicalize_cc": q_kg_canonicalize_cc,
     "kg_triples_exact": q_kg_triples_exact,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_winnow_fp": q_text_winnow_fp,
+    # deferred from the r05 window to fit the wave-4 queries: stale-r03
+    # queries byte/semantics-pinned by pytest or subsumed by an in-window
+    # sibling (see the contract note above), then constant/trivially-
+    # map-only/guarded-anchor queries pinned elsewhere
+    "kg_canonicalize_cc": q_kg_canonicalize_cc,
     "kg_eval_pr": q_kg_eval_pr,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_conversation_entities": q_kg_conversation_entities,
@@ -4979,14 +5559,6 @@ QUERIES = {
     "rel_top_customers_window": q_rel_top_customers_window,
     "rel_order_revenue_join": q_rel_order_revenue_join,
     "rel_rollup_orders": q_rel_rollup_orders,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "text_winnow_fp": q_text_winnow_fp,
-    # deferred from the r05 window to fit the wave-2/3 queries:
-    # constant, trivially-map-only, or guarded-anchor queries whose
-    # behavior is pinned by other queries/pytests
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "rel_setop_customers": q_rel_setop_customers,
     "text_token_count_bpe": q_text_token_count_bpe,
@@ -5049,6 +5621,16 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rel_kmv_distinct": SQL_REL_KMV_DISTINCT,
+    "text_epoch_shuffle": SQL_TEXT_EPOCH_SHUFFLE,
+    "kg_adamic_adar": SQL_KG_ADAMIC_ADAR,
+    "rel_supplier_waiting": SQL_REL_SUPPLIER_WAITING,
+    "rel_important_parts": SQL_REL_IMPORTANT_PARTS,
+    "rel_top_supplier": SQL_REL_TOP_SUPPLIER,
+    "text_contamination_frac": SQL_TEXT_CONTAMINATION_FRAC,
+    "text_bigram_surprisal": SQL_TEXT_BIGRAM_SURPRISAL,
+    "rel_corr_qty_price": SQL_REL_CORR_QTY_PRICE,
+    "sim_ivf_recall": SQL_SIM_IVF_RECALL,
     "text_domain_mix": SQL_TEXT_DOMAIN_MIX,
     "kg_two_hop": SQL_KG_TWO_HOP,
     "kg_triple_support": SQL_KG_TRIPLE_SUPPORT,
