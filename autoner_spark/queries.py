@@ -5176,8 +5176,9 @@ WITH pr AS (
 ),
 t AS (SELECT sum(revenue_cents) AS total_cents FROM pr)
 SELECT p_partkey, p_name, revenue_cents
-FROM pr, t
+FROM pr
 JOIN part ON p_partkey = l_partkey
+CROSS JOIN t
 WHERE revenue_cents * 1600 > total_cents
 """
 
@@ -5222,8 +5223,9 @@ WITH rev AS (
 ),
 mx AS (SELECT max(total_cents) AS mx FROM rev)
 SELECT s_suppkey, s_name, total_cents
-FROM rev, mx
+FROM rev
 JOIN supplier ON s_suppkey = l_suppkey
+CROSS JOIN mx
 WHERE total_cents = mx
 """
 
@@ -5368,10 +5370,12 @@ def q_rel_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         y.alias("y"),
     )
+    # every sum that can exceed int64 at extreme scale (cents linear sum
+    # included: 6e12 rows x 1e7 cents > 2^63) aggregates as decimal(38,0)
     m = base.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
         F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
