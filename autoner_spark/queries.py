@@ -5468,6 +5468,340 @@ GROUP BY x.query_id
 """
 
 
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS coverage — the irregular set list
+    ((priority), (status), ()) that neither ROLLUP (rel_rollup_orders)
+    nor CUBE (rel_cube_orders) can express: the two one-dimensional
+    margins plus the grand total WITHOUT the two-dimensional cells.
+    Uses the native DataFrame.groupingSets lowering (one expand + one
+    hash aggregate, map-side combined — not a union of three scans);
+    grouping_id disambiguates NULL-valued dimension values from
+    grouped-out dimensions. Revenue keeps the rel_rollup_orders money
+    convention (2dp round = identity on the 2dp-exact sum)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("gid", "o_orderpriority", "o_orderstatus", "n_orders",
+                "revenue")
+    )
+
+
+SQL_REL_GROUPING_SETS = """
+SELECT cast(grouping_id(o_orderpriority, o_orderstatus) AS integer) AS gid,
+       o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (damping 0.85, 3 unrolled iterations) from a
+    single deterministic seed — the max-degree entity (min surface on
+    ties): 'how close is every entity to the hub', the seed-conditioned
+    relevance used for KG-local retrieval. Teleport mass returns to the
+    SEED only (not uniformly), so rank decays with graph distance from
+    it. Same one-shuffle-per-iteration shape as kg_pagerank (edges JOIN
+    ranks on src -> algebraic per-dst sum); the seed is a broadcast
+    one-row relation picked by TakeOrdered (deg desc, surface asc), never
+    a driver collect."""
+    e = q_kg_cooccurrence(spark, sf_dir).select("surface_a", "surface_b")
+    edges = persist_tracked(
+        e.select(F.col("surface_a").alias("src"),
+                 F.col("surface_b").alias("dst"))
+        .union(e.select(F.col("surface_b").alias("src"),
+                        F.col("surface_a").alias("dst")))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    seed = (
+        deg.orderBy(F.col("deg").desc(), F.col("src"))
+        .limit(1).select(F.col("src").alias("seed"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    base = nodes.crossJoin(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("seed"), 1.0).otherwise(0.0)
+        .alias("s"),
+    )
+    r = base.select("node", F.col("s").alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        r = (
+            base.join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(0.15) * F.col("s")
+                 + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+        )
+    return (
+        r.join(base.select("node", F.col("s").cast("int").alias("is_seed")),
+               "node")
+        .select("node", "is_seed", F.round("rank", 6).alias("ppr"))
+    )
+
+
+SQL_KG_PAGERANK_PERSONALIZED = f"""
+WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, surface FROM mentions),
+pairs AS (
+    SELECT DISTINCT a.surface AS sa, b.surface AS sb
+    FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+    WHERE a.surface < b.surface
+),
+e AS (
+    SELECT sa AS src, sb AS dst FROM pairs
+    UNION ALL SELECT sb AS src, sa AS dst FROM pairs
+),
+deg AS (SELECT src, cast(count(*) AS bigint) AS deg FROM e GROUP BY src),
+seed AS (SELECT src AS seed FROM deg ORDER BY deg DESC, src LIMIT 1),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+base AS (
+    SELECT node, CASE WHEN node = seed THEN 1.0 ELSE 0.0 END AS s
+    FROM nodes CROSS JOIN seed
+),
+r0 AS (SELECT node, s AS rank FROM base),
+c1 AS (
+    SELECT e.dst, sum(r.rank / d.deg) AS c
+    FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r1 AS (
+    SELECT base.node, 0.15 * base.s + 0.85 * coalesce(c1.c, 0) AS rank
+    FROM base LEFT JOIN c1 ON c1.dst = base.node
+),
+c2 AS (
+    SELECT e.dst, sum(r.rank / d.deg) AS c
+    FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r2 AS (
+    SELECT base.node, 0.15 * base.s + 0.85 * coalesce(c2.c, 0) AS rank
+    FROM base LEFT JOIN c2 ON c2.dst = base.node
+),
+c3 AS (
+    SELECT e.dst, sum(r.rank / d.deg) AS c
+    FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r3 AS (
+    SELECT base.node, 0.15 * base.s + 0.85 * coalesce(c3.c, 0) AS rank
+    FROM base LEFT JOIN c3 ON c3.dst = base.node
+)
+SELECT r3.node, cast(base.s AS integer) AS is_seed,
+       round(r3.rank, 6) AS ppr
+FROM r3 JOIN base ON base.node = r3.node
+"""
+
+
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration: for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (matching components / 16)
+    next to the TRUE Jaccard — the observability query that tells an
+    operator whether num_hashes/band_size are tuned before trusting the
+    sketch at corpus scale. est_ppm is exact integer math (1e6/16 =
+    62500 per matching component); true_ppm is integer HALF_UP from the
+    intersection/union counts. Signature and shingle relations are
+    corpus-sized, so every join onto the pairs is SHUFFLE_HASH — never
+    a broadcast build (the r04 scale-bug class). A calibration pass
+    recomputes the shingle lineage the candidate generator also walks;
+    production runs it on a sampled candidate subset."""
+    from .dedup import minhash_lsh_pairs, minhash_signatures, shingles_df
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3,
+                              max_bucket_size=64).select("id_a", "id_b")
+    sig = minhash_signatures(docs, num_hashes=16, n=3)
+    siga = sig.select(F.col("id").alias("id_a"),
+                      *[F.col(f"m{h}").alias(f"a{h}") for h in range(16)])
+    sigb = sig.select(F.col("id").alias("id_b"),
+                      *[F.col(f"m{h}").alias(f"b{h}") for h in range(16)])
+    n_match = sum(
+        (F.col(f"a{h}") == F.col(f"b{h}")).cast("int") for h in range(16)
+    )
+    est = (
+        pairs.join(siga.hint("shuffle_hash"), "id_a")
+        .join(sigb.hint("shuffle_hash"), "id_b")
+        .select("id_a", "id_b", n_match.alias("n_sig_match"))
+    )
+    sh = shingles_df(docs, n=3)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.hint("shuffle_hash").join(a, "id_a")
+        .join(b.hint("shuffle_hash"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        est.join(inter.hint("shuffle_hash"), ["id_a", "id_b"], "left")
+        .join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("n_sig_match").cast("int").alias("n_sig_match"),
+            (F.col("n_sig_match").cast("long") * 62500).alias("est_ppm"),
+            F.coalesce(F.col("inter"), F.lit(0)).cast("int").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b")
+             - F.coalesce(F.col("inter"), F.lit(0))).cast("int")
+            .alias("uni"),
+            F.expr(
+                "cast((2 * 1000000 * cast(coalesce(inter, 0) as bigint)"
+                " + (sz_a + sz_b - coalesce(inter, 0)))"
+                " div (2 * cast(sz_a + sz_b - coalesce(inter, 0) as bigint))"
+                " as bigint)"
+            ).alias("true_ppm"),
+        )
+    )
+
+
+SQL_DEDUP_MINHASH_ESTIMATE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, pos, concat_ws(' ', tok,
+           lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT doc_id AS id, shingle FROM tri WHERE t3 IS NOT NULL),
+base AS (
+    SELECT id, cast(('0x' || substring(md5(shingle), 1, 8)) AS bigint) AS x
+    FROM sh
+),
+salted AS (
+    SELECT id, h, ((2 * h + 1) * x + h * 12582917) % 2147483647 AS hv
+    FROM base, unnest(range(0, 16)) AS u(h)
+),
+sig AS (SELECT id, h, min(hv) AS minhash FROM salted GROUP BY id, h),
+banded AS (
+    SELECT id, cast(floor(h / 4) AS integer) AS band,
+           md5(string_agg(cast(minhash AS varchar), ',' ORDER BY h)) AS bucket
+    FROM sig GROUP BY id, cast(floor(h / 4) AS integer)
+),
+capped AS (
+    SELECT band, bucket FROM banded GROUP BY band, bucket
+    HAVING count(*) BETWEEN 2 AND 64
+),
+cand AS (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    JOIN capped c ON c.band = x.band AND c.bucket = x.bucket
+),
+match AS (
+    SELECT cand.id_a, cand.id_b,
+           cast(sum(CASE WHEN p.minhash = q.minhash THEN 1 ELSE 0 END)
+                AS integer) AS n_sig_match
+    FROM cand
+    JOIN sig p ON p.id = cand.id_a
+    JOIN sig q ON q.id = cand.id_b AND q.h = p.h
+    GROUP BY cand.id_a, cand.id_b
+),
+shd AS (SELECT DISTINCT id, shingle FROM sh),
+inter AS (
+    SELECT cand.id_a, cand.id_b, count(*) AS inter
+    FROM cand
+    JOIN shd a ON a.id = cand.id_a
+    JOIN shd b ON b.id = cand.id_b AND b.shingle = a.shingle
+    GROUP BY cand.id_a, cand.id_b
+),
+sizes AS (SELECT id, count(*) AS sz FROM shd GROUP BY id)
+SELECT m.id_a, m.id_b, m.n_sig_match,
+       cast(m.n_sig_match AS bigint) * 62500 AS est_ppm,
+       cast(coalesce(i.inter, 0) AS integer) AS inter,
+       cast(sa.sz + sb.sz - coalesce(i.inter, 0) AS integer) AS uni,
+       cast((2 * 1000000 * cast(coalesce(i.inter, 0) AS bigint)
+             + (sa.sz + sb.sz - coalesce(i.inter, 0)))
+            // (2 * cast(sa.sz + sb.sz - coalesce(i.inter, 0) AS bigint))
+            AS bigint) AS true_ppm
+FROM match m
+LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+JOIN sizes sa ON sa.id = m.id_a
+JOIN sizes sb ON sb.id = m.id_b
+"""
+
+
+def q_rel_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence via lag windows: day gaps between
+    consecutive orders, aggregated to (n_orders, min/max gap, integer
+    HALF_UP mean gap at e4). The window partitions on the customer key —
+    parallel across customers, frame bounded by a customer's own order
+    count; the aggregate is map-side combined on the same key, so the
+    window shuffle is reused. All-day-granularity integer math (dates
+    are midnight-aligned; datediff both engines)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn(
+            "gap",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+            ).cast("long"),
+        )
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("int").alias("n_orders"),
+            F.min("gap").cast("int").alias("min_gap_days"),
+            F.max("gap").cast("int").alias("max_gap_days"),
+            F.sum("gap").alias("_sg"),
+            F.count("gap").alias("_cg"),
+        )
+        .filter(F.col("_cg") > 0)
+        .select(
+            "o_custkey", "n_orders", "min_gap_days", "max_gap_days",
+            (F.expr("(2 * _sg * 10000 + _cg) div (2 * _cg)")
+             / F.lit(10000.0)).alias("avg_gap_days"),
+        )
+    )
+
+
+SQL_REL_ORDER_GAPS = """
+WITH gaps AS (
+    SELECT o_custkey,
+           date_diff('day',
+                     lag(o_orderdate, 1) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap
+    FROM orders
+)
+SELECT o_custkey,
+       cast(count(*) AS integer) AS n_orders,
+       cast(min(gap) AS integer) AS min_gap_days,
+       cast(max(gap) AS integer) AS max_gap_days,
+       ((2 * sum(gap) * 10000 + count(gap)) // (2 * count(gap)))
+           / 10000.0 AS avg_gap_days
+FROM gaps
+GROUP BY o_custkey
+HAVING count(gap) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5484,14 +5818,21 @@ GROUP BY x.query_id
 #       kg_labels_dp) LAST when space is short: they are byte-pinned
 #       against the compiled reference binary by pytest every run, so a
 #       driver row adds the least marginal evidence.
-# The r05 window = 27 new (wave 1-4) + 8 changed + 15 r03-stale rows.
+# The r05 window = 31 new (wave 1-5) + 8 changed + 11 r03-stale rows.
 # Deferred r03-stale rows, in order of least marginal evidence: queries
 # byte/semantics-pinned by pytest or subsumed by an in-window sibling
 # (kg_turn_text_equality/kg_mentions_markup: compiled-harness parity;
 # kg_canonicalize_cc: CC pytest + dedup_cluster_assign r04 row;
-# rel_rollup_orders: rel_cube_orders r05 row; eval_pr: eval_chunking/
-# typing r04 rows; plus constant/trivially-map-only queries).
+# rel_rollup_orders: rel_cube_orders r05 row + rel_grouping_sets;
+# eval_pr: eval_chunking/typing r04 rows; rel_events_asof/
+# rel_lpc_distinct: semantics pytests; plus constant/trivially-map-only
+# queries).
 QUERIES = {
+    # --- (1) new this round (r05 wave 5) ---
+    "rel_grouping_sets": q_rel_grouping_sets,
+    "kg_pagerank_personalized": q_kg_pagerank_personalized,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "rel_order_gaps": q_rel_order_gaps,
     # --- (1) new this round (r05 wave 4) ---
     "rel_kmv_distinct": q_rel_kmv_distinct,
     "text_epoch_shuffle": q_text_epoch_shuffle,
@@ -5532,12 +5873,8 @@ QUERIES = {
     "rel_events_json_hourly": q_rel_events_json_hourly,
     "rel_events_range_join": q_rel_events_range_join,
     # --- (2) stale since r03 (r04 class-3 leftovers) ---
-    "rel_customers_no_orders": q_rel_customers_no_orders,
     "rel_event_sessions": q_rel_event_sessions,
-    "rel_events_asof": q_rel_events_asof,
-    "rel_lpc_distinct": q_rel_lpc_distinct,
     "rel_orders_exists": q_rel_orders_exists,
-    "rel_pivot_status": q_rel_pivot_status,
     "rel_time_rollup": q_rel_time_rollup,
     # --- (2) stale since r03 (r04 class-4); the 50-row window ends
     #     at this section's LAST entry (text_winnow_fp) ---
@@ -5563,6 +5900,10 @@ QUERIES = {
     "rel_top_customers_window": q_rel_top_customers_window,
     "rel_order_revenue_join": q_rel_order_revenue_join,
     "rel_rollup_orders": q_rel_rollup_orders,
+    "rel_customers_no_orders": q_rel_customers_no_orders,
+    "rel_events_asof": q_rel_events_asof,
+    "rel_lpc_distinct": q_rel_lpc_distinct,
+    "rel_pivot_status": q_rel_pivot_status,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "rel_setop_customers": q_rel_setop_customers,
     "text_token_count_bpe": q_text_token_count_bpe,
@@ -5625,6 +5966,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rel_grouping_sets": SQL_REL_GROUPING_SETS,
+    "kg_pagerank_personalized": SQL_KG_PAGERANK_PERSONALIZED,
+    "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
+    "rel_order_gaps": SQL_REL_ORDER_GAPS,
     "rel_kmv_distinct": SQL_REL_KMV_DISTINCT,
     "text_epoch_shuffle": SQL_TEXT_EPOCH_SHUFFLE,
     "kg_adamic_adar": SQL_KG_ADAMIC_ADAR,
