@@ -5802,6 +5802,61 @@ HAVING count(gap) > 0
 """
 
 
+def q_rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume): revenue between supplier
+    nation and customer nation per order year, cross-nation pairs only.
+    The join topology is the canonical two-sided star: nation (25 rows)
+    broadcasts unconditionally onto both arms; supplier broadcasts (a
+    bounded dimension); orders-customer and lineitem-orders are FACT
+    joins left to shuffle on their keys — at TPC-H scale orders and
+    customer both grow with sf, so neither may be pinned broadcast (the
+    r04 scale-bug class). Revenue keeps the rel_part_type_revenue money
+    convention (4dp round = identity on the 4dp-exact price*(1-disc)
+    sum)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("o_orderdate").alias("year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_REL_NATION_TRADE = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       cast(year(o_orderdate) AS integer) AS year,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, year(o_orderdate)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5818,17 +5873,19 @@ HAVING count(gap) > 0
 #       kg_labels_dp) LAST when space is short: they are byte-pinned
 #       against the compiled reference binary by pytest every run, so a
 #       driver row adds the least marginal evidence.
-# The r05 window = 31 new (wave 1-5) + 8 changed + 11 r03-stale rows.
+# The r05 window = 32 new (wave 1-5) + 8 changed + 10 r03-stale rows.
 # Deferred r03-stale rows, in order of least marginal evidence: queries
 # byte/semantics-pinned by pytest or subsumed by an in-window sibling
 # (kg_turn_text_equality/kg_mentions_markup: compiled-harness parity;
 # kg_canonicalize_cc: CC pytest + dedup_cluster_assign r04 row;
 # rel_rollup_orders: rel_cube_orders r05 row + rel_grouping_sets;
 # eval_pr: eval_chunking/typing r04 rows; rel_events_asof/
-# rel_lpc_distinct: semantics pytests; plus constant/trivially-map-only
-# queries).
+# rel_lpc_distinct: semantics pytests; rel_orders_exists: the EXISTS
+# class is pinned in-window by rel_supplier_waiting's correlated twin;
+# plus constant/trivially-map-only queries).
 QUERIES = {
     # --- (1) new this round (r05 wave 5) ---
+    "rel_nation_trade": q_rel_nation_trade,
     "rel_grouping_sets": q_rel_grouping_sets,
     "kg_pagerank_personalized": q_kg_pagerank_personalized,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
@@ -5874,7 +5931,6 @@ QUERIES = {
     "rel_events_range_join": q_rel_events_range_join,
     # --- (2) stale since r03 (r04 class-3 leftovers) ---
     "rel_event_sessions": q_rel_event_sessions,
-    "rel_orders_exists": q_rel_orders_exists,
     "rel_time_rollup": q_rel_time_rollup,
     # --- (2) stale since r03 (r04 class-4); the 50-row window ends
     #     at this section's LAST entry (text_winnow_fp) ---
@@ -5904,6 +5960,7 @@ QUERIES = {
     "rel_events_asof": q_rel_events_asof,
     "rel_lpc_distinct": q_rel_lpc_distinct,
     "rel_pivot_status": q_rel_pivot_status,
+    "rel_orders_exists": q_rel_orders_exists,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "rel_setop_customers": q_rel_setop_customers,
     "text_token_count_bpe": q_text_token_count_bpe,
@@ -5966,6 +6023,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rel_nation_trade": SQL_REL_NATION_TRADE,
     "rel_grouping_sets": SQL_REL_GROUPING_SETS,
     "kg_pagerank_personalized": SQL_KG_PAGERANK_PERSONALIZED,
     "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,

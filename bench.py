@@ -61,6 +61,11 @@ HEADLINE = [
     "text_bm25_topk",
     "kg_pagerank",
     "rel_scd2_merge",
+    # round-5 wave-4/5 representatives: second-order LM scoring, and the
+    # Q21 shape where Spark runs the decorrelated plan against DuckDB's
+    # literal correlated EXISTS/NOT-EXISTS form
+    "text_bigram_surprisal",
+    "rel_supplier_waiting",
 ]
 
 DUCK_TABLES = [
@@ -113,6 +118,13 @@ SF1_QUERIES = [
     "text_substring_dedup",
     "kg_turn_dedup",
     "text_tfidf_topk",
+    # round-5 wave-4/5 additions (documents/events-derived; probed at
+    # sf1 before listing: 3.6s / 8.8s / 1.3s — the calibration query's
+    # candidate set inflates to 267k pairs under 10x replication, every
+    # replica colliding in every band, and still holds ~1.5x time)
+    "text_bigram_surprisal",
+    "dedup_minhash_estimate",
+    "rel_kmv_distinct",
 ]
 # drop-stat observability recorded (values, not timings) next to the sf1
 # numbers for the capped dedup operators

@@ -34,6 +34,11 @@ PERSIST_BEARING = [
     "text_substring_dedup",    # persisted positional window relation
     "kg_two_hop",              # persisted symmetric edge list
     "text_domain_mix",         # persisted per-source aggregate
+    "kg_adamic_adar",          # persisted symmetric edge list
+    "rel_important_parts",     # persisted per-part aggregate (total+filter)
+    "rel_top_supplier",        # persisted per-supplier aggregate (max+filter)
+    "text_bigram_surprisal",   # persisted bigram relation (model + scoring)
+    "kg_pagerank_personalized",  # persisted symmetric edge list
 ]
 
 

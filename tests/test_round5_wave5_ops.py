@@ -123,3 +123,43 @@ def test_order_gaps_lag_math(spark, tmp_path):
     assert (r1.n_orders, r1.min_gap_days, r1.max_gap_days) == (3, 10, 20)
     assert r1.avg_gap_days == 15.0
     assert out[2].avg_gap_days == 1.5
+
+
+def test_nation_trade_cross_nation_only(spark, tmp_path):
+    from autoner_spark.queries import QUERIES
+
+    d = datetime.datetime(1996, 2, 1)
+    spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BRAVO", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(1, "S1", 0, 0.0), (2, "S2", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame(
+        [(1, "C1", 0, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, "O", 100.0, d, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    # s1 is the customer's own nation (ALPHA->ALPHA: excluded);
+    # s2 crosses (BRAVO->ALPHA): revenue = 100 * (1 - 0.1) = 90
+    spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", d),
+         (10, 1, 2, 2, 1.0, 100.0, 0.1, 0.0, "N", "O", d)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    rows = QUERIES["rel_nation_trade"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.supp_nation, r.cust_nation, r.year, r.n_items) == (
+        "BRAVO", "ALPHA", 1996, 1)
+    assert r.revenue == 90.0
