@@ -5137,7 +5137,9 @@ FROM (
                         AND l3.l_returnflag = 'R')
 ) w
 JOIN supplier ON s_suppkey = l_suppkey
-GROUP BY s_name
+-- keyed on l_suppkey like the Spark side (s_name alone would merge two
+-- suppliers if names ever collided — keep the twins structurally equal)
+GROUP BY l_suppkey, s_name
 """
 
 
@@ -5396,14 +5398,17 @@ def q_rel_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REL_CORR_QTY_PRICE = """
 WITH m AS (
+    -- floor() before the bigint casts: DuckDB cast(double AS bigint)
+    -- ROUNDS where Spark's .cast('long') truncates (CLAUDE.md trap);
+    -- l_quantity is non-negative so floor == truncation
     SELECT l_returnflag,
            count(*) AS n,
-           sum(cast(l_quantity AS bigint)) AS sx,
+           sum(cast(floor(l_quantity) AS bigint)) AS sx,
            sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS sy,
-           sum(cast(l_quantity AS bigint)
+           sum(cast(floor(l_quantity) AS bigint)
                * cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS sxy,
-           sum(cast(l_quantity AS bigint) * cast(l_quantity AS bigint))
-               AS sxx,
+           sum(cast(floor(l_quantity) AS bigint)
+               * cast(floor(l_quantity) AS bigint)) AS sxx,
            sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)
                * cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS syy
     FROM lineitem GROUP BY l_returnflag
@@ -5513,14 +5518,10 @@ def q_kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. Same one-shuffle-per-iteration shape as kg_pagerank (edges JOIN
     ranks on src -> algebraic per-dst sum); the seed is a broadcast
     one-row relation picked by TakeOrdered (deg desc, surface asc), never
-    a driver collect."""
-    e = q_kg_cooccurrence(spark, sf_dir).select("surface_a", "surface_b")
-    edges = persist_tracked(
-        e.select(F.col("surface_a").alias("src"),
-                 F.col("surface_b").alias("dst"))
-        .union(e.select(F.col("surface_b").alias("src"),
-                        F.col("surface_a").alias("dst")))
-    )
+    a driver collect. The edge list is the shared _cooc_edges relation
+    (one definition across the round-5 graph ops), persisted across the
+    iterations."""
+    edges = persist_tracked(_cooc_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     seed = (
         deg.orderBy(F.col("deg").desc(), F.col("src"))
@@ -5557,17 +5558,8 @@ def q_kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_KG_PAGERANK_PERSONALIZED = f"""
-WITH {TRANSCRIPTS_CTE}, {_EXACT_MENTIONS_CTE},
-m AS (SELECT DISTINCT conv_id, turn_idx, surface FROM mentions),
-pairs AS (
-    SELECT DISTINCT a.surface AS sa, b.surface AS sb
-    FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
-    WHERE a.surface < b.surface
-),
-e AS (
-    SELECT sa AS src, sb AS dst FROM pairs
-    UNION ALL SELECT sb AS src, sa AS dst FROM pairs
-),
+WITH {_COOC_EDGES_CTE},
+e AS (SELECT src, dst FROM edges),
 deg AS (SELECT src, cast(count(*) AS bigint) AS deg FROM e GROUP BY src),
 seed AS (SELECT src AS seed FROM deg ORDER BY deg DESC, src LIMIT 1),
 nodes AS (SELECT DISTINCT src AS node FROM e),
@@ -5618,15 +5610,18 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     62500 per matching component); true_ppm is integer HALF_UP from the
     intersection/union counts. Signature and shingle relations are
     corpus-sized, so every join onto the pairs is SHUFFLE_HASH — never
-    a broadcast build (the r04 scale-bug class). A calibration pass
-    recomputes the shingle lineage the candidate generator also walks;
-    production runs it on a sampled candidate subset."""
+    a broadcast build (the r04 scale-bug class). The signature and
+    distinct-shingle relations are PERSISTED (two and three consumers
+    respectively — without the persist each join side re-scans and
+    re-md5s the whole corpus); the candidate generator still walks its
+    own signature lineage once, and production runs the calibration on a
+    sampled candidate subset."""
     from .dedup import minhash_lsh_pairs, minhash_signatures, shingles_df
 
     docs = load_parallel(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3,
                               max_bucket_size=64).select("id_a", "id_b")
-    sig = minhash_signatures(docs, num_hashes=16, n=3)
+    sig = persist_tracked(minhash_signatures(docs, num_hashes=16, n=3))
     siga = sig.select(F.col("id").alias("id_a"),
                       *[F.col(f"m{h}").alias(f"a{h}") for h in range(16)])
     sigb = sig.select(F.col("id").alias("id_b"),
@@ -5639,7 +5634,7 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigb.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", n_match.alias("n_sig_match"))
     )
-    sh = shingles_df(docs, n=3)
+    sh = persist_tracked(shingles_df(docs, n=3))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

@@ -39,6 +39,7 @@ PERSIST_BEARING = [
     "rel_top_supplier",        # persisted per-supplier aggregate (max+filter)
     "text_bigram_surprisal",   # persisted bigram relation (model + scoring)
     "kg_pagerank_personalized",  # persisted symmetric edge list
+    "dedup_minhash_estimate",  # persisted signature + shingle relations
 ]
 
 
