@@ -5803,9 +5803,12 @@ def q_rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join topology is the canonical two-sided star: nation (25 rows)
     broadcasts unconditionally onto both arms; supplier broadcasts (a
     bounded dimension); orders-customer and lineitem-orders are FACT
-    joins left to shuffle on their keys — at TPC-H scale orders and
-    customer both grow with sf, so neither may be pinned broadcast (the
-    r04 scale-bug class). Revenue keeps the rel_part_type_revenue money
+    joins left UNHINTED — both sides grow with sf, so they must never be
+    pinned broadcast, but unlike the r04 scale-bug class (derived
+    relations with bogus tiny static stats) these are raw file scans
+    whose sizeInBytes is accurate: Catalyst correctly broadcasts them at
+    gate scale where they genuinely fit and switches to shuffle joins
+    when the stats exceed the threshold at production scale. Revenue keeps the rel_part_type_revenue money
     convention (4dp round = identity on the 4dp-exact price*(1-disc)
     sum)."""
     li = load(spark, sf_dir, "lineitem")
