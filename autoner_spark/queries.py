@@ -5855,6 +5855,75 @@ GROUP BY ns.n_name, nc.n_name, year(o_orderdate)
 """
 
 
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, how
+    many distinct 4-gram shingles they share, plus the overlap
+    coefficient (shared / smaller source's vocabulary) — the syndication
+    / shared-boilerplate diagnostic a curation pipeline runs before
+    trusting per-source dedup or mixing weights. Shingles are keyed
+    directly by SOURCE (shingles_df's id_col), so the relation is
+    (sources x shingle-vocabulary)-bounded, never corpus-row-sized; the
+    pair explosion groups per shingle (each group <= n_sources members
+    — the bucket-pairs shape with no cap needed) and per-source totals
+    broadcast. Coefficient as integer HALF_UP ppm."""
+    from .dedup import _bucket_pairs, shingles_df
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    sh = persist_tracked(shingles_df(docs, n=4, id_col="source"))
+    shared = (
+        _bucket_pairs(sh, ["shingle"], "id", None)
+        .groupBy(F.col("a").alias("source_a"), F.col("b").alias("source_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    tot = sh.groupBy("id").agg(F.count("*").alias("tot"))
+    ta = tot.select(F.col("id").alias("source_a"), F.col("tot").alias("ta"))
+    tb = tot.select(F.col("id").alias("source_b"), F.col("tot").alias("tb"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.least(F.col("ta"), F.col("tb")).cast("long").alias("min_vocab"),
+            F.expr(
+                "cast((2 * 1000000 * n_shared + least(ta, tb))"
+                " div (2 * cast(least(ta, tb) as bigint)) as bigint)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
+SQL_TEXT_SOURCE_OVERLAP = """
+WITH toks AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+),
+four AS (
+    SELECT source, concat_ws(' ', tok, lead(tok, 1) OVER w,
+                             lead(tok, 2) OVER w, lead(tok, 3) OVER w)
+               AS shingle,
+           lead(tok, 3) OVER w AS t4
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT source AS id, shingle FROM four WHERE t4 IS NOT NULL),
+shared AS (
+    SELECT x.id AS source_a, y.id AS source_b,
+           cast(count(*) AS bigint) AS n_shared
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+    GROUP BY x.id, y.id
+),
+tot AS (SELECT id, count(*) AS tot FROM sh GROUP BY id)
+SELECT source_a, source_b, n_shared,
+       cast(least(ta.tot, tb.tot) AS bigint) AS min_vocab,
+       cast((2 * 1000000 * n_shared + least(ta.tot, tb.tot))
+            // (2 * cast(least(ta.tot, tb.tot) AS bigint)) AS bigint)
+           AS overlap_ppm
+FROM shared
+JOIN tot ta ON ta.id = source_a
+JOIN tot tb ON tb.id = source_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5871,7 +5940,7 @@ GROUP BY ns.n_name, nc.n_name, year(o_orderdate)
 #       kg_labels_dp) LAST when space is short: they are byte-pinned
 #       against the compiled reference binary by pytest every run, so a
 #       driver row adds the least marginal evidence.
-# The r05 window = 32 new (wave 1-5) + 8 changed + 10 r03-stale rows.
+# The r05 window = 33 new (wave 1-5) + 8 changed + 9 r03-stale rows.
 # Deferred r03-stale rows, in order of least marginal evidence: queries
 # byte/semantics-pinned by pytest or subsumed by an in-window sibling
 # (kg_turn_text_equality/kg_mentions_markup: compiled-harness parity;
@@ -5883,6 +5952,7 @@ GROUP BY ns.n_name, nc.n_name, year(o_orderdate)
 # plus constant/trivially-map-only queries).
 QUERIES = {
     # --- (1) new this round (r05 wave 5) ---
+    "text_source_overlap": q_text_source_overlap,
     "rel_nation_trade": q_rel_nation_trade,
     "rel_grouping_sets": q_rel_grouping_sets,
     "kg_pagerank_personalized": q_kg_pagerank_personalized,
@@ -5932,7 +6002,6 @@ QUERIES = {
     "rel_time_rollup": q_rel_time_rollup,
     # --- (2) stale since r03 (r04 class-4); the 50-row window ends
     #     at this section's LAST entry (text_winnow_fp) ---
-    "kg_mentions_exact": q_kg_mentions_exact,
     "kg_entity_link": q_kg_entity_link,
     "kg_triples_exact": q_kg_triples_exact,
     "dedup_exact": q_dedup_exact,
@@ -5955,6 +6024,9 @@ QUERIES = {
     "rel_order_revenue_join": q_rel_order_revenue_join,
     "rel_rollup_orders": q_rel_rollup_orders,
     "rel_customers_no_orders": q_rel_customers_no_orders,
+    # kg_mentions_exact: its lineage is exercised in-window by
+    # kg_triples_exact and raw-scan mentions carry an r04 row
+    "kg_mentions_exact": q_kg_mentions_exact,
     "rel_events_asof": q_rel_events_asof,
     "rel_lpc_distinct": q_rel_lpc_distinct,
     "rel_pivot_status": q_rel_pivot_status,
@@ -6021,6 +6093,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "text_source_overlap": SQL_TEXT_SOURCE_OVERLAP,
     "rel_nation_trade": SQL_REL_NATION_TRADE,
     "rel_grouping_sets": SQL_REL_GROUPING_SETS,
     "kg_pagerank_personalized": SQL_KG_PAGERANK_PERSONALIZED,

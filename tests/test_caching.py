@@ -40,6 +40,7 @@ PERSIST_BEARING = [
     "text_bigram_surprisal",   # persisted bigram relation (model + scoring)
     "kg_pagerank_personalized",  # persisted symmetric edge list
     "dedup_minhash_estimate",  # persisted signature + shingle relations
+    "text_source_overlap",     # persisted source-keyed shingle relation
 ]
 
 

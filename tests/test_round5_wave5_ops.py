@@ -163,3 +163,21 @@ def test_nation_trade_cross_nation_only(spark, tmp_path):
     assert (r.supp_nation, r.cust_nation, r.year, r.n_items) == (
         "BRAVO", "ALPHA", 1996, 1)
     assert r.revenue == 90.0
+
+
+def test_source_overlap_coefficient(spark, tmp_path):
+    from autoner_spark.queries import QUERIES
+
+    # sources A and B each have 2 distinct 4-gram shingles, sharing 1
+    # -> overlap = 1/2 -> 500000 ppm; source C is disjoint -> no rows
+    spark.createDataFrame(
+        [(0, "w1 w2 w3 w4", "A"), (1, "a b c d", "A"),
+         (2, "w1 w2 w3 w4", "B"), (3, "p q r s", "B"),
+         (4, "x y z t", "C")],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {(r.source_a, r.source_b): r for r in
+            QUERIES["text_source_overlap"](spark, str(tmp_path)).collect()}
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert (r.n_shared, r.min_vocab, r.overlap_ppm) == (1, 2, 500000)
