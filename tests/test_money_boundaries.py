@@ -176,3 +176,26 @@ def test_money_query_agrees_with_twin_on_half_boundaries(
     assert gate.canon(spark_rows, spark_cols) == gate.canon(
         duck_rows, duck_cols
     ), f"{name} diverges on half-boundary inputs"
+
+
+# ---------------------------------------------------------------------------
+# the arithmetic identity every scaled-integer money output rests on:
+# (2*s*K + c) div (2*c) == round-half-up(s*K / c) for non-negative s
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+import math
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(
+    s=st.integers(min_value=0, max_value=10**14),
+    c=st.integers(min_value=1, max_value=10**7),
+    K=st.sampled_from([1, 100, 10_000, 1_000_000]),
+)
+def test_half_up_integer_formula_is_round_half_up(s, c, K):
+    got = (2 * s * K + c) // (2 * c)
+    expected = math.floor(Fraction(s * K, c) + Fraction(1, 2))
+    assert got == expected
