@@ -5924,6 +5924,109 @@ JOIN tot tb ON tb.id = source_b
 """
 
 
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the entity graph (2 walks
+    per start node x 3 steps) — the DeepWalk/node2vec preparation stage
+    that turns a graph into embedding-training sequences, made gateable
+    by replacing the RNG with md5: at step t the walk at node c picks
+    neighbor rank md5(walk, t, start, c) % deg(c). Every relation in the
+    plan (edges, per-src neighbor ranks, degrees, the walk frontier) is
+    VOCABULARY-bounded — the corpus never enters the iteration, so the
+    op costs the same at 100 TB as at gate scale. The neighbor-rank
+    window partitions on src (parallel, per-node frame); each step is
+    one broadcast-degree join + one (src, rank) equi-join; walks ride
+    as one frontier relation, never a driver loop."""
+    edges = persist_tracked(_cooc_edges(spark, sf_dir))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranked = edges.select(
+        "src", "dst",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy("dst")
+        ).alias("rk"),
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    cur = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("w"),
+        F.col("node").alias("c"),
+        F.col("node").alias("path"),
+    )
+    from .dedup import md5_int32
+
+    for t in (1, 2, 3):
+        pick_hash = md5_int32(
+            F.concat(F.lit(f"walk:{t}:"), F.col("w").cast("string"),
+                     F.lit(":"), F.col("start"), F.lit(":"), F.col("c"))
+        )
+        cur = (
+            cur.join(F.broadcast(deg), cur["c"] == deg["src"])
+            .select(
+                "start", "w", "path",
+                F.col("c").alias("prev"),
+                (pick_hash % F.col("deg") + 1).cast("int").alias("pick"),
+            )
+            .join(ranked,
+                  (F.col("prev") == ranked["src"])
+                  & (F.col("pick") == ranked["rk"]))
+            .select(
+                "start", "w",
+                F.col("dst").alias("c"),
+                F.concat(F.col("path"), F.lit("->"), F.col("dst"))
+                .alias("path"),
+            )
+        )
+    return cur.select(
+        F.col("start").alias("start_node"),
+        F.col("w").cast("int").alias("walk_id"),
+        "path",
+    )
+
+
+SQL_KG_RANDOM_WALKS = f"""
+WITH {_COOC_EDGES_CTE},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ranked AS (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+    FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+w0 AS (
+    SELECT node AS start, cast(w AS integer) AS w, node AS c,
+           node AS path
+    FROM nodes, unnest([0, 1]) AS u(w)
+),
+s1 AS (
+    SELECT w0.start, w0.w, r.dst AS c, w0.path || '->' || r.dst AS path
+    FROM w0
+    JOIN deg d ON d.src = w0.c
+    JOIN ranked r ON r.src = w0.c
+     AND r.rk = cast(('0x' || substring(md5(
+             concat('walk:1:', w0.w, ':', w0.start, ':', w0.c)), 1, 8))
+             AS bigint) % d.deg + 1
+),
+s2 AS (
+    SELECT s1.start, s1.w, r.dst AS c, s1.path || '->' || r.dst AS path
+    FROM s1
+    JOIN deg d ON d.src = s1.c
+    JOIN ranked r ON r.src = s1.c
+     AND r.rk = cast(('0x' || substring(md5(
+             concat('walk:2:', s1.w, ':', s1.start, ':', s1.c)), 1, 8))
+             AS bigint) % d.deg + 1
+),
+s3 AS (
+    SELECT s2.start, s2.w, r.dst AS c, s2.path || '->' || r.dst AS path
+    FROM s2
+    JOIN deg d ON d.src = s2.c
+    JOIN ranked r ON r.src = s2.c
+     AND r.rk = cast(('0x' || substring(md5(
+             concat('walk:3:', s2.w, ':', s2.start, ':', s2.c)), 1, 8))
+             AS bigint) % d.deg + 1
+)
+SELECT start AS start_node, w AS walk_id, path FROM s3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5940,7 +6043,7 @@ JOIN tot tb ON tb.id = source_b
 #       kg_labels_dp) LAST when space is short: they are byte-pinned
 #       against the compiled reference binary by pytest every run, so a
 #       driver row adds the least marginal evidence.
-# The r05 window = 33 new (wave 1-5) + 8 changed + 9 r03-stale rows.
+# The r05 window = 34 new (wave 1-5) + 8 changed + 8 r03-stale rows.
 # Deferred r03-stale rows, in order of least marginal evidence: queries
 # byte/semantics-pinned by pytest or subsumed by an in-window sibling
 # (kg_turn_text_equality/kg_mentions_markup: compiled-harness parity;
@@ -5952,6 +6055,7 @@ JOIN tot tb ON tb.id = source_b
 # plus constant/trivially-map-only queries).
 QUERIES = {
     # --- (1) new this round (r05 wave 5) ---
+    "kg_random_walks": q_kg_random_walks,
     "text_source_overlap": q_text_source_overlap,
     "rel_nation_trade": q_rel_nation_trade,
     "rel_grouping_sets": q_rel_grouping_sets,
@@ -6002,7 +6106,6 @@ QUERIES = {
     "rel_time_rollup": q_rel_time_rollup,
     # --- (2) stale since r03 (r04 class-4); the 50-row window ends
     #     at this section's LAST entry (text_winnow_fp) ---
-    "kg_entity_link": q_kg_entity_link,
     "kg_triples_exact": q_kg_triples_exact,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6024,9 +6127,10 @@ QUERIES = {
     "rel_order_revenue_join": q_rel_order_revenue_join,
     "rel_rollup_orders": q_rel_rollup_orders,
     "rel_customers_no_orders": q_rel_customers_no_orders,
-    # kg_mentions_exact: its lineage is exercised in-window by
-    # kg_triples_exact and raw-scan mentions carry an r04 row
+    # kg_mentions_exact / kg_entity_link: their lineage is exercised
+    # in-window by kg_triples_exact and raw-scan mentions carry an r04 row
     "kg_mentions_exact": q_kg_mentions_exact,
+    "kg_entity_link": q_kg_entity_link,
     "rel_events_asof": q_rel_events_asof,
     "rel_lpc_distinct": q_rel_lpc_distinct,
     "rel_pivot_status": q_rel_pivot_status,
@@ -6093,6 +6197,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "kg_random_walks": SQL_KG_RANDOM_WALKS,
     "text_source_overlap": SQL_TEXT_SOURCE_OVERLAP,
     "rel_nation_trade": SQL_REL_NATION_TRADE,
     "rel_grouping_sets": SQL_REL_GROUPING_SETS,

@@ -41,6 +41,7 @@ PERSIST_BEARING = [
     "kg_pagerank_personalized",  # persisted symmetric edge list
     "dedup_minhash_estimate",  # persisted signature + shingle relations
     "text_source_overlap",     # persisted source-keyed shingle relation
+    "kg_random_walks",         # persisted symmetric edge list
 ]
 
 

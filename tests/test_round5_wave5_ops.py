@@ -181,3 +181,31 @@ def test_source_overlap_coefficient(spark, tmp_path):
     assert set(rows) == {("A", "B")}
     r = rows[("A", "B")]
     assert (r.n_shared, r.min_vocab, r.overlap_ppm) == (1, 2, 500000)
+
+
+def test_random_walks_follow_edges(spark, monkeypatch):
+    from autoner_spark import queries as Q
+
+    # path graph a-b-c-d: every step must traverse a real edge
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "surface_a string, surface_b string",
+    )
+    monkeypatch.setattr(Q, "q_kg_cooccurrence", lambda s, sf: pairs)
+    und = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+           ("c", "d"), ("d", "c")}
+    rows = Q.q_kg_random_walks(spark, SF).collect()
+    assert len(rows) == 8  # 4 nodes x 2 walks
+    for r in rows:
+        hops = r.path.split("->")
+        assert len(hops) == 4 and hops[0] == r.start_node
+        for x, y in zip(hops, hops[1:]):
+            assert (x, y) in und, f"non-edge hop {x}->{y} in {r.path}"
+    # deterministic: identical on a second run
+    rows2 = Q.q_kg_random_walks(spark, SF).collect()
+    assert {(r.start_node, r.walk_id, r.path) for r in rows} == {
+        (r.start_node, r.walk_id, r.path) for r in rows2}
+    # endpoints (deg 1) must bounce back through their only neighbor
+    by = {(r.start_node, r.walk_id): r.path for r in rows}
+    assert by[("a", 0)].startswith("a->b")
+    assert by[("a", 1)].startswith("a->b")
