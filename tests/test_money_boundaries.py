@@ -191,11 +191,16 @@ from hypothesis import strategies as st
 
 
 @given(
-    s=st.integers(min_value=0, max_value=10**14),
+    # s bounded so the 2*s*K + c intermediate stays inside int64 — the
+    # identity is only useful where Spark/DuckDB bigint arithmetic can
+    # actually evaluate it (Python would happily pass on big-ints the
+    # engines overflow on)
+    s=st.integers(min_value=0, max_value=10**12),
     c=st.integers(min_value=1, max_value=10**7),
     K=st.sampled_from([1, 100, 10_000, 1_000_000]),
 )
 def test_half_up_integer_formula_is_round_half_up(s, c, K):
+    assert 2 * s * K + c <= 2**63 - 1, "strategy left the engine envelope"
     got = (2 * s * K + c) // (2 * c)
     expected = math.floor(Fraction(s * K, c) + Fraction(1, 2))
     assert got == expected
