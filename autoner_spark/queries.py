@@ -846,11 +846,17 @@ FROM (
 
 
 def q_rel_order_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join orders->customer->nation. Only the fixed-cardinality
+    nation side (25 rows at every sf) carries a broadcast hint; customer
+    grows linearly with sf, so its join is left to AQE, which promotes
+    genuinely-small sides at runtime instead of pinning a multi-GB
+    driver-side build at the 100x scale bar (the r04 static-broadcast
+    discipline)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
@@ -962,14 +968,18 @@ GROUP BY 1, 2
 
 def q_rel_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part + supplier dimension coverage: revenue by part type and
-    supplier nation (two broadcast dims against the lineitem fact)."""
+    supplier nation against the lineitem fact. part and supplier grow
+    linearly with sf, so their joins carry NO broadcast hint — AQE
+    promotes them when runtime stats say they fit; pinning them was the
+    r04 static-broadcast scale bug class (VERDICT r05 #2). Only the
+    25-row nation dimension is hinted."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("p_type", "n_name")
         .agg(
@@ -1048,8 +1058,9 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated SCALAR subquery coverage (TPC-H Q17 shape): revenue from
     below-one-fifth-of-average-quantity orders of one brand's parts. The
     Spark side is explicitly DECORRELATED — per-part thresholds via one
-    aggregation, then a broadcast-joined filter — which is the plan shape
-    the optimizer must reach at scale (a per-row subquery is quadratic).
+    aggregation, then a joined filter (unhinted; AQE broadcasts the
+    brand subset while it fits) — which is the plan shape the optimizer
+    must reach at scale (a per-row subquery is quadratic).
     Threshold and output are INTEGER-EXACT (r05 money sweep): the per-part
     threshold 0.2*avg(qty) is HALF_UP-scaled to e6 with bigint math and the
     comparison runs on qty*10^6 < thr_e6 (quantities are integral), so no
@@ -1072,9 +1083,11 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2000000 * _s + 5 * _c) div (10 * _c)").alias("thr_e6"),
         )
     )
+    # brand subset is part/|brands| — it still grows with sf, so the
+    # join is unhinted (AQE promotes it to broadcast while it fits)
     brand = p.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
     return (
-        li2.join(F.broadcast(brand), li2["l_partkey"] == brand["p_partkey"])
+        li2.join(brand, li2["l_partkey"] == brand["p_partkey"])
         .join(thr, "l_partkey")
         .filter(F.col("qty") * F.lit(1_000_000).cast("long")
                 < F.col("thr_e6"))
@@ -4406,7 +4419,8 @@ SELECT o_orderstatus AS status, o_orderpriority AS priority,
        cast(GROUPING(o_orderstatus) AS integer) AS g_status,
        cast(GROUPING(o_orderpriority) AS integer) AS g_priority,
        count(*) AS n_orders,
-       sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS total_cents
+       cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint)
+           AS total_cents
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -4803,11 +4817,16 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing weights per source domain (the DoReMi-lite prep
     step): each source's token share and the resampling weight that
     would equalize shares (target = uniform across sources). One
-    aggregation keyed by source; corpus totals are one broadcast row;
-    the division structure is identical in both engines (ints into one
-    double division) so 6dp rounding agrees. The per-source aggregate is
-    persisted: it feeds both the totals row and the final projection,
-    and without the persist the corpus tokenize+aggregate runs twice."""
+    aggregation keyed by source; corpus totals are one broadcast row.
+    Outputs are integer HALF_UP parts-per-million / e6-scaled weights
+    ((2*10^6*num + den) div (2*den), the contamination_frac convention)
+    — never round(double, k), whose engine-side rounding paths diverge
+    on boundary ratios (the r04 rolling_spend class). Intermediates run
+    in decimal(38,0) / HUGEINT so 2e6-scaled token totals cannot wrap
+    at corpus scale; only the final div lands back in BIGINT. The
+    per-source aggregate is persisted: it feeds both the totals row and
+    the final projection, and without the persist the corpus
+    tokenize+aggregate runs twice."""
     from .caching import persist_tracked
 
     d = load_parallel(spark, sf_dir, "documents")
@@ -4824,13 +4843,18 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.crossJoin(F.broadcast(tot))
         .select(
             "source", "n_docs", "n_tokens",
-            F.round(F.col("n_tokens") / F.col("total_tokens"), 6)
-            .alias("token_share"),
-            F.round(
-                F.col("total_tokens")
-                / (F.col("n_sources") * F.col("n_tokens").cast("double")),
-                6,
-            ).alias("mix_weight"),
+            F.expr(
+                "cast((2 * 1000000 * cast(n_tokens as decimal(38,0))"
+                " + total_tokens)"
+                " div (2 * cast(total_tokens as decimal(38,0)))"
+                " as bigint)"
+            ).alias("share_ppm"),
+            F.expr(
+                "cast((2 * 1000000 * cast(total_tokens as decimal(38,0))"
+                " + n_sources * cast(n_tokens as decimal(38,0)))"
+                " div (2 * n_sources * cast(n_tokens as decimal(38,0)))"
+                " as bigint)"
+            ).alias("weight_e6"),
         )
     )
 
@@ -4838,7 +4862,8 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_DOMAIN_MIX = """
 WITH per AS (
     SELECT source, count(*) AS n_docs,
-           sum(cast(len(string_split(text, ' ')) AS bigint)) AS n_tokens
+           cast(sum(cast(len(string_split(text, ' ')) AS bigint))
+                AS bigint) AS n_tokens
     FROM documents GROUP BY source
 ),
 tot AS (
@@ -4847,9 +4872,12 @@ tot AS (
     FROM per
 )
 SELECT source, n_docs, n_tokens,
-       round(n_tokens / total_tokens, 6) AS token_share,
-       round(total_tokens
-             / (n_sources * cast(n_tokens AS double)), 6) AS mix_weight
+       cast((2 * 1000000 * cast(n_tokens AS hugeint) + total_tokens)
+            // (2 * cast(total_tokens AS hugeint)) AS bigint) AS share_ppm,
+       cast((2 * 1000000 * cast(total_tokens AS hugeint)
+             + n_sources * cast(n_tokens AS hugeint))
+            // (2 * n_sources * cast(n_tokens AS hugeint)) AS bigint)
+           AS weight_e6
 FROM per, tot
 """
 
@@ -5097,7 +5125,10 @@ def q_rel_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-returned-supplier counts per order) plus one join — two
     shuffles total instead of three self-join passes, and no fact row is
     ever widened. The DuckDB twin keeps the literal EXISTS/NOT-EXISTS
-    form, so the gate additionally pins decorrelated == correlated."""
+    form, so the gate additionally pins decorrelated == correlated.
+    The supplier join is unhinted: supplier grows with sf (AQE promotes
+    it when runtime stats say it fits — the r04 broadcast discipline);
+    the per-supplier aggregate side is already grouped small."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
@@ -5117,7 +5148,7 @@ def q_rel_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
         .groupBy("l_suppkey")
         .agg(F.count("*").cast("long").alias("n_orders"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "n_orders")
     )
 
@@ -5151,7 +5182,13 @@ def q_rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure bigint cents math (revenue_cents * 1600 > total_cents): no
     double ever touches the cut, so no row can sit on a rounding
     boundary. The per-part aggregate is persisted (total + filter
-    consumers read it once)."""
+    consumers read it once). The broadcast rides on the FILTERED
+    aggregate — provably < 1600 rows by construction (each passing part
+    holds > 1/1600 of total revenue) — never on the sf-growing part
+    dimension (ADVICE r05; the r04 static-broadcast discipline). Twin
+    note: sum outputs are cast back to BIGINT — DuckDB sum(BIGINT) is
+    HUGEINT, whose client-side rendering is fetch-path-dependent (the
+    r05 driver-red mechanism; see tests/test_oracle_types.py)."""
     li = load(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     pr = persist_tracked(
@@ -5161,10 +5198,13 @@ def q_rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = pr.agg(F.sum("revenue_cents").alias("total_cents"))
     p = load(spark, sf_dir, "part")
-    return (
+    important = (
         pr.crossJoin(F.broadcast(total))
         .filter(F.col("revenue_cents") * 1600 > F.col("total_cents"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        p.join(F.broadcast(important),
+               F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "revenue_cents")
     )
 
@@ -5172,11 +5212,11 @@ def q_rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REL_IMPORTANT_PARTS = """
 WITH pr AS (
     SELECT l_partkey,
-           sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint))
-               AS revenue_cents
+           cast(sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint))
+                AS bigint) AS revenue_cents
     FROM lineitem GROUP BY l_partkey
 ),
-t AS (SELECT sum(revenue_cents) AS total_cents FROM pr)
+t AS (SELECT cast(sum(revenue_cents) AS bigint) AS total_cents FROM pr)
 SELECT p_partkey, p_name, revenue_cents
 FROM pr
 JOIN part ON p_partkey = l_partkey
@@ -5191,13 +5231,23 @@ def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint cents; the maximum arrives as a broadcast one-row relation
     (the sanctioned constant-size crossJoin) rather than an
     unpartitioned window — the per-supplier aggregate is persisted so
-    the max pass and the filter pass share one computation."""
+    the max pass and the filter pass share one computation. The quarter
+    bounds are TIMESTAMP_NTZ literals compared against the NTZ parquet
+    column — wall-clock to wall-clock, no session timezone anywhere
+    (a plain cast("timestamp") literal resolves in the DRIVER's session
+    TZ, which this repo does not control). The broadcast rides on the
+    max-filtered winners (>= 1 row, ties only) — never on the
+    sf-growing supplier dimension. Twin note: the sum output is cast
+    back to BIGINT (DuckDB HUGEINT rendering is fetch-path-dependent —
+    the r05 driver-red mechanism; see tests/test_oracle_types.py)."""
     li = load(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     rev = persist_tracked(
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            (F.col("l_shipdate")
+             >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
         .select("l_suppkey", cents.alias("cents"))
         .groupBy("l_suppkey")
@@ -5205,10 +5255,13 @@ def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_cents").alias("mx"))
     s = load(spark, sf_dir, "supplier")
-    return (
+    winners = (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_cents") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        s.join(F.broadcast(winners),
+               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_cents")
     )
 
@@ -5216,8 +5269,8 @@ def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REL_TOP_SUPPLIER = """
 WITH rev AS (
     SELECT l_suppkey,
-           sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint))
-               AS total_cents
+           cast(sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint))
+                AS bigint) AS total_cents
     FROM lineitem
     WHERE l_shipdate >= timestamp '1996-01-01'
       AND l_shipdate < timestamp '1996-04-01'
@@ -5800,17 +5853,16 @@ HAVING count(gap) > 0
 def q_rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (bilateral trade volume): revenue between supplier
     nation and customer nation per order year, cross-nation pairs only.
-    The join topology is the canonical two-sided star: nation (25 rows)
-    broadcasts unconditionally onto both arms; supplier broadcasts (a
-    bounded dimension); orders-customer and lineitem-orders are FACT
-    joins left UNHINTED — both sides grow with sf, so they must never be
-    pinned broadcast, but unlike the r04 scale-bug class (derived
-    relations with bogus tiny static stats) these are raw file scans
-    whose sizeInBytes is accurate: Catalyst correctly broadcasts them at
-    gate scale where they genuinely fit and switches to shuffle joins
-    when the stats exceed the threshold at production scale. Revenue keeps the rel_part_type_revenue money
-    convention (4dp round = identity on the 4dp-exact price*(1-disc)
-    sum)."""
+    The join topology is the canonical two-sided star: ONLY nation (25
+    rows at every sf) carries a broadcast hint, on both arms; supplier,
+    customer, orders and lineitem all grow linearly with sf, so every
+    one of those joins is left unhinted — these are raw file scans with
+    accurate sizeInBytes, and Catalyst/AQE broadcasts them at gate
+    scale where they genuinely fit while switching to shuffle joins
+    when the stats exceed the threshold at production scale (pinning
+    supplier here was the r04 static-broadcast class; VERDICT r05 #2).
+    Revenue keeps the rel_part_type_revenue money convention (4dp round
+    = identity on the 4dp-exact price*(1-disc) sum)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     s = load(spark, sf_dir, "supplier")
@@ -5821,7 +5873,7 @@ def q_rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = n.select(F.col("n_nationkey").alias("c_nk"),
                   F.col("n_name").alias("cust_nation"))
     return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])

@@ -286,11 +286,19 @@ def test_domain_mix_shares_sum_to_one_and_weights_equalize(spark):
 
     rows = QUERIES["text_domain_mix"](spark, SF).collect()
     assert rows
-    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
-    # resampled share = share * weight must be ~uniform across sources
+    # integer ppm / e6 outputs (HALF_UP); shares sum to 1e6 up to the
+    # per-source rounding slack
     n = len(rows)
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= n
+    # resampled share = share * weight must be ~uniform across sources
     for r in rows:
-        assert abs(r.token_share * r.mix_weight - 1.0 / n) < 1e-4
+        share = r.share_ppm / 1e6
+        weight = r.weight_e6 / 1e6
+        assert abs(share * weight - 1.0 / n) < 1e-4
+        # HALF_UP pinning vs the exact rational, on the collected row
+        assert r.share_ppm == (2 * 10**6 * r.n_tokens
+                               + sum(x.n_tokens for x in rows)) \
+            // (2 * sum(x.n_tokens for x in rows))
 
 
 def test_two_hop_on_path_graph(spark, monkeypatch):
