@@ -607,6 +607,7 @@ def minhash_verified_pairs(
     max_bucket_size: int | None = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard): MinHash-LSH candidates VERIFIED with the
     exact n-gram Jaccard — the standard production composition: LSH bounds
@@ -615,7 +616,16 @@ def minhash_verified_pairs(
     of ``ngram_jaccard_pairs`` at the candidate-generation cost of
     ``minhash_lsh_pairs``. The verify joins touch only candidate pairs'
     shingle rows (two equi-joins on id then shingle), never the corpus
-    cross itself."""
+    cross itself.
+
+    ``max_shingle_df`` (default None = off) applies the SAME df cap to
+    the verify-side shingle universe that ``ngram_jaccard_pairs``
+    applies, so a router that falls back here scores each pair over the
+    identical capped universe as the exact route — without it the same
+    pair can carry a different jaccard (and flip across the threshold)
+    depending on which route ran (ADVICE r05). The candidate-generation
+    signatures stay uncapped either way — the cap changes which pairs
+    can be FOUND only through recall, never a found pair's value."""
     from .caching import persist_tracked
 
     cand = minhash_lsh_pairs(
@@ -623,7 +633,10 @@ def minhash_verified_pairs(
     ).select("id_a", "id_b")
     # three consumers (sizes + both join sides) — persist the distinct
     # shingle relation so the tokenize/explode/distinct lineage runs once
-    sh = persist_tracked(shingles_df(docs, n, id_col, text_col))
+    sh = shingles_df(docs, n, id_col, text_col)
+    if max_shingle_df:
+        sh = _cap_group_size(sh, ["shingle"], max_shingle_df)
+    sh = persist_tracked(sh)
     return _verify_exact_jaccard(cand, sh, threshold)
 
 
@@ -901,6 +914,7 @@ def ngram_jaccard_pairs_routed(
     pair_budget: int = JACCARD_PAIR_BUDGET,
     id_col: str = "doc_id",
     text_col: str = "text",
+    route: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard): n-gram Jaccard pairs with AUTOMATIC routing
     (VERDICT r04 #4): a one-scalar profile job measures the exact
@@ -915,14 +929,27 @@ def ngram_jaccard_pairs_routed(
 
     Costs one extra corpus scan for the profile; at 100 TB that scan is
     map-side-reduced to the vocabulary and is noise next to the pair
-    explosion it prevents."""
-    mass = estimate_candidate_pair_mass(
-        docs, n, max_shingle_df, id_col, text_col
-    )
-    if mass <= pair_budget:
+    explosion it prevents. ``route`` overrides the profile: "exact" or
+    "lsh" skips the eager mass job entirely, so callers that already
+    know the regime (the gate at a pinned sf, dump_plans, a production
+    job re-running a profiled corpus) build the plan LAZILY — the
+    no-eager-job-at-plan-build contract (ADVICE r05). Both routes score
+    every emitted pair over the SAME df-capped shingle universe
+    (``max_shingle_df`` is forwarded to the LSH verify pass), so a
+    pair's jaccard value never depends on which side of the budget the
+    corpus landed; only recall differs (the LSH band guarantee)."""
+    if route is None:
+        mass = estimate_candidate_pair_mass(
+            docs, n, max_shingle_df, id_col, text_col
+        )
+        route = "exact" if mass <= pair_budget else "lsh"
+    if route == "exact":
         return ngram_jaccard_pairs(
             docs, n, threshold, max_shingle_df, id_col, text_col
         )
+    if route != "lsh":
+        raise ValueError(f"route must be 'exact', 'lsh' or None: {route!r}")
     return minhash_verified_pairs(
-        docs, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+        docs, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
+        max_shingle_df=max_shingle_df,
     )

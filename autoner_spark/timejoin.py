@@ -114,7 +114,15 @@ def range_join(
     of them, so the hot group's build side splits ``salt`` ways at the
     cost of a salt-times left fan-out. Output is exactly the unsalted
     result (each pair meets in exactly one sub-partition; pinned by
-    pytest). Leave ``None`` unless keys are coarse enough to skew."""
+    pytest). Leave ``None`` unless keys are coarse enough to skew.
+
+    Salt preconditions (the sub-partition hash covers the FULL right
+    row so identical-timestamp bursts still scatter): (1) every right
+    column must be hashable by ``F.hash`` — in particular a MapType
+    column fails analysis when ``salt`` is set (drop or cast it first);
+    (2) rows identical in ALL right columns still co-locate in one
+    sub-partition — if exact duplicate rows can burst, carry a unique
+    id column on the right side so they scatter."""
     if lo > hi:
         raise ValueError(f"empty range: lo ({lo}) > hi ({hi})")
     width = max(hi - lo, 1)
