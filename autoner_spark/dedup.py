@@ -102,16 +102,22 @@ def _verify_exact_jaccard(
     return (
         inter.join(sa.hint("shuffle_hash"), "id_a")
         .join(sb.hint("shuffle_hash"), "id_b")
+        # integer HALF_UP at ppm scale (r06 money sweep): inter/union is a
+        # rational whose true value CAN sit exactly on a 6dp half (e.g.
+        # union 128, inter odd), where Spark's decimal-exact round and
+        # DuckDB's FP-multiply round diverge. (2*10^6*p + q) div (2q) is
+        # exact integer math on both engines; the final /1e6 maps the same
+        # bigint to the same double everywhere.
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
+            "jaccard_ppm",
+            F.expr(
+                "(2 * 1000000 * inter + (sz_a + sz_b - inter))"
+                " div (2 * (sz_a + sz_b - inter))"
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard_ppm") >= int(round(threshold * 1e6)))
+        .select("id_a", "id_b",
+                (F.col("jaccard_ppm") / F.lit(1000000.0)).alias("jaccard"))
     )
 
 
@@ -233,16 +239,18 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa.hint("shuffle_hash"), "id_a")
         .join(sb.hint("shuffle_hash"), "id_b")
+        # integer HALF_UP ppm then exact /1e6 — see _verify_exact_jaccard
+        # for the half-boundary rationale (r06 money sweep).
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
+            "jaccard_ppm",
+            F.expr(
+                "(2 * 1000000 * inter + (sz_a + sz_b - inter))"
+                " div (2 * (sz_a + sz_b - inter))"
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard_ppm") >= int(round(threshold * 1e6)))
+        .select("id_a", "id_b",
+                (F.col("jaccard_ppm") / F.lit(1000000.0)).alias("jaccard"))
     )
 
 

@@ -1690,7 +1690,8 @@ victims AS (
     FROM inter
     JOIN sz sa ON sa.id = id_a
     JOIN sz sb ON sb.id = id_b
-    WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+    WHERE (2 * 1000000 * n + (sa.sz + sb.sz - n))
+          // (2 * (sa.sz + sb.sz - n)) >= 500000
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM victims)
@@ -1773,11 +1774,16 @@ inter AS (
     GROUP BY a.id, b.id
 )
 SELECT id_a, id_b,
-       round(n / (sa.sz + sb.sz - n), 6) AS jaccard
+       -- integer HALF_UP ppm then exact /1e6 (r06 money sweep): the
+       -- rational n/union can sit exactly on a 6dp half where the two
+       -- engines' round() implementations diverge
+       ((2 * 1000000 * n + (sa.sz + sb.sz - n))
+        // (2 * (sa.sz + sb.sz - n))) / 1000000.0 AS jaccard
 FROM inter
 JOIN sz sa ON sa.id = id_a
 JOIN sz sb ON sb.id = id_b
-WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+WHERE (2 * 1000000 * n + (sa.sz + sb.sz - n))
+      // (2 * (sa.sz + sb.sz - n)) >= 500000
 """
 
 
@@ -1948,11 +1954,15 @@ inter AS (
     JOIN dsh b ON b.id = c.id_b AND b.shingle = a.shingle
     GROUP BY c.id_a, c.id_b
 )
-SELECT id_a, id_b, round(n / (sa.sz + sb.sz - n), 6) AS jaccard
+SELECT id_a, id_b,
+       -- integer HALF_UP ppm then exact /1e6 (r06 money sweep)
+       ((2 * 1000000 * n + (sa.sz + sb.sz - n))
+        // (2 * (sa.sz + sb.sz - n))) / 1000000.0 AS jaccard
 FROM inter
 JOIN sz sa ON sa.id = id_a
 JOIN sz sb ON sb.id = id_b
-WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+WHERE (2 * 1000000 * n + (sa.sz + sb.sz - n))
+      // (2 * (sa.sz + sb.sz - n)) >= 500000
 """
 
 
@@ -2807,7 +2817,8 @@ per AS (
 )
 SELECT id, cast(sum(c) AS integer) AS n_shingles,
        cast(max(c) AS integer) AS max_repeat,
-       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6) AS rep_ratio
+       ((2 * 1000000 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) + sum(c))
+        // (2 * sum(c))) / 1000000.0 AS rep_ratio
 FROM per GROUP BY id
 """
 
@@ -2869,7 +2880,8 @@ pairs AS (
     FROM inter
     JOIN sz sa ON sa.id = id_a
     JOIN sz sb ON sb.id = id_b
-    WHERE round(n / (sa.sz + sb.sz - n), 6) >= 0.5
+    WHERE (2 * 1000000 * n + (sa.sz + sb.sz - n))
+          // (2 * (sa.sz + sb.sz - n)) >= 500000
 ),
 edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
 nodes AS (SELECT lpad(cast(doc_id AS varchar), 20, '0') AS node FROM documents),
@@ -3067,8 +3079,11 @@ SQL_TEXT_TOKEN_STATS = """
 SELECT doc_id AS id,
        cast(len(string_split(text, ' ')) AS integer) AS n_tokens,
        cast(length(text) AS integer) AS n_chars,
-       round((length(text) - (len(string_split(text, ' ')) - 1))
-             / len(string_split(text, ' ')), 4) AS avg_token_len
+       ((2 * 10000 * (cast(length(text) AS bigint)
+                      - (len(string_split(text, ' ')) - 1))
+         + len(string_split(text, ' ')))
+        // (2 * cast(len(string_split(text, ' ')) AS bigint)))
+           / 10000.0 AS avg_token_len
 FROM documents
 """
 
@@ -3092,9 +3107,11 @@ agg AS (
     FROM toks GROUP BY id
 )
 SELECT id, cast(n AS integer) AS n_tokens,
-       round(n_sw / n, 6) AS stopword_ratio,
-       round(n_distinct / n, 6) AS distinct_ratio,
-       round((n_distinct / n) * (1 - n_sw / n), 6) AS quality
+       ((2 * 1000000 * n_sw + n) // (2 * n)) / 1000000.0 AS stopword_ratio,
+       ((2 * 1000000 * n_distinct + n) // (2 * n)) / 1000000.0
+           AS distinct_ratio,
+       ((2 * 1000000 * n_distinct * (n - n_sw) + n * n) // (2 * n * n))
+           / 1000000.0 AS quality
 FROM agg
 """
 
@@ -3112,20 +3129,30 @@ WITH toks AS (
 ),
 agg AS (
     SELECT id, count(*) AS n,
-        sum(CASE WHEN tok IN ('the','and','is','of','to','a') THEN 1 ELSE 0 END) / count(*) AS r_en,
-        sum(CASE WHEN tok IN ('le','la','et','est','les','de') THEN 1 ELSE 0 END) / count(*) AS r_fr,
-        sum(CASE WHEN tok IN ('der','die','und','ist','das','ein') THEN 1 ELSE 0 END) / count(*) AS r_de,
-        sum(CASE WHEN tok IN ('el','la','y','es','los','de') THEN 1 ELSE 0 END) / count(*) AS r_es
+        sum(CASE WHEN tok IN ('the','and','is','of','to','a') THEN 1 ELSE 0 END) AS h_en,
+        sum(CASE WHEN tok IN ('le','la','et','est','les','de') THEN 1 ELSE 0 END) AS h_fr,
+        sum(CASE WHEN tok IN ('der','die','und','ist','das','ein') THEN 1 ELSE 0 END) AS h_de,
+        sum(CASE WHEN tok IN ('el','la','y','es','los','de') THEN 1 ELSE 0 END) AS h_es
     FROM toks GROUP BY id
+),
+-- integer HALF_UP ppm ratios (r06 money sweep); threshold/argmax on the
+-- exact bigints, identical on both engines
+p AS (
+    SELECT id,
+        (2 * 1000000 * h_en + n) // (2 * n) AS r_en,
+        (2 * 1000000 * h_fr + n) // (2 * n) AS r_fr,
+        (2 * 1000000 * h_de + n) // (2 * n) AS r_de,
+        (2 * 1000000 * h_es + n) // (2 * n) AS r_es
+    FROM agg
 )
 SELECT id,
-       CASE WHEN r_de >= 0.05 AND r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
-            WHEN r_en >= 0.05 AND r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
-            WHEN r_es >= 0.05 AND r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
-            WHEN r_fr >= 0.05 AND r_fr = greatest(r_de, r_en, r_es, r_fr) THEN 'fr'
+       CASE WHEN r_de >= 50000 AND r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+            WHEN r_en >= 50000 AND r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+            WHEN r_es >= 50000 AND r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+            WHEN r_fr >= 50000 AND r_fr = greatest(r_de, r_en, r_es, r_fr) THEN 'fr'
             ELSE 'und' END AS lang_pred,
-       round(greatest(r_de, r_en, r_es, r_fr), 6) AS marker_ratio
-FROM agg
+       greatest(r_de, r_en, r_es, r_fr) / 1000000.0 AS marker_ratio
+FROM p
 """
 
 
@@ -4268,10 +4295,11 @@ def q_kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a").alias("surface_a"), F.col("b").alias("surface_b"),
             "n_common",
-            F.round(
-                F.col("n_common")
-                / (F.col("da") + F.col("db") - F.col("n_common")), 6
-            ).alias("nb_jaccard"),
+            # integer HALF_UP ppm then exact /1e6 (r06 money sweep): the
+            # rational n_common/union can sit exactly on a 6dp half
+            (F.expr("(2 * 1000000 * n_common + (da + db - n_common))"
+                    " div (2 * (da + db - n_common))")
+             / F.lit(1000000.0)).alias("nb_jaccard"),
         )
     )
 
@@ -4286,7 +4314,8 @@ wedge AS (
 ),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
 SELECT a AS surface_a, b AS surface_b, n_common,
-       round(n_common / (da.deg + db.deg - n_common), 6) AS nb_jaccard
+       ((2 * 1000000 * n_common + (da.deg + db.deg - n_common))
+        // (2 * (da.deg + db.deg - n_common))) / 1000000.0 AS nb_jaccard
 FROM wedge
 JOIN deg da ON da.src = a
 JOIN deg db ON db.src = b
@@ -4736,8 +4765,12 @@ def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("id").alias("doc_id"), "n_windows", "n_dup_windows",
-            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
-            .alias("dup_fraction"),
+            # integer HALF_UP ppm then exact /1e6 (r06 money sweep):
+            # n_dup/n_windows can sit exactly on a 6dp half (e.g.
+            # n_windows = 128, n_dup odd)
+            (F.expr("(2 * 1000000 * cast(n_dup_windows as bigint)"
+                    " + n_windows) div (2 * cast(n_windows as bigint))")
+             / F.lit(1000000.0)).alias("dup_fraction"),
         )
     )
 
@@ -4764,8 +4797,8 @@ dfr AS (
 SELECT doc_id, cast(count(*) AS integer) AS n_windows,
        cast(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS integer)
            AS n_dup_windows,
-       round(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END)
-             / count(*), 6) AS dup_fraction
+       ((2 * 1000000 * sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END)
+         + count(*)) // (2 * count(*))) / 1000000.0 AS dup_fraction
 FROM w2 JOIN dfr USING (sh)
 GROUP BY doc_id
 """

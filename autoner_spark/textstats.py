@@ -31,17 +31,23 @@ def _tokens(text_col: str = "text"):
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """(id, n_tokens, n_chars, avg_token_len)."""
+    """(id, n_tokens, n_chars, avg_token_len). avg_token_len is the
+    integer-HALF_UP e4 mean then an exact /1e4 (r06 money sweep): the
+    rational chars/tokens can sit exactly on a 4dp half (e.g. 32 tokens),
+    where a fixed double round diverges across engines; the div form is
+    exact integer math on both."""
     toks = _tokens(text_col)
-    return docs.select(
+    base = docs.select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
-        F.round(
-            (F.length(F.col(text_col)) - (F.size(toks) - 1))
-            / F.size(toks),
-            4,
-        ).alias("avg_token_len"),
+    )
+    return base.select(
+        "id", "n_tokens", "n_chars",
+        (F.expr(
+            "(2 * 10000 * (cast(n_chars as bigint) - (n_tokens - 1))"
+            " + n_tokens) div (2 * cast(n_tokens as bigint))"
+        ) / F.lit(10000.0)).alias("avg_token_len"),
     )
 
 
@@ -52,16 +58,30 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     length/stopword/diversity heuristic in the C4/Gopher-rules family."""
     toks = _tokens(text_col)
     sw = F.array([F.lit(w) for w in STOPWORDS_EN])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n = F.size(toks)
-    distinct_ratio = F.size(F.array_distinct(toks)) / n
-    stop_ratio = n_sw / n
-    return docs.select(
+    # integer HALF_UP at ppm scale then exact /1e6 (r06 money sweep):
+    # s/n, d/n and d*(n-s)/n^2 are rationals that can sit exactly on a
+    # 6dp half, where Spark's decimal-exact round and DuckDB's
+    # FP-multiply round diverge; the div form is exact on both engines.
+    base = docs.select(
         F.col(id_col).alias("id"),
-        n.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(distinct_ratio * (1 - stop_ratio), 6).alias("quality"),
+        F.size(toks).alias("_n"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .alias("_s"),
+        F.size(F.array_distinct(toks)).alias("_d"),
+    )
+    return base.select(
+        "id",
+        F.col("_n").alias("n_tokens"),
+        (F.expr("(2 * 1000000 * cast(_s as bigint) + _n)"
+                " div (2 * cast(_n as bigint))")
+         / F.lit(1000000.0)).alias("stopword_ratio"),
+        (F.expr("(2 * 1000000 * cast(_d as bigint) + _n)"
+                " div (2 * cast(_n as bigint))")
+         / F.lit(1000000.0)).alias("distinct_ratio"),
+        (F.expr("(2 * 1000000 * cast(_d as bigint) * (_n - _s)"
+                " + cast(_n as bigint) * _n)"
+                " div (2 * cast(_n as bigint) * _n)")
+         / F.lit(1000000.0)).alias("quality"),
     )
 
 
@@ -70,25 +90,38 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     """(id, lang_pred, marker_ratio): argmax over per-language marker-word
     hit ratios; 'und' (undetermined) when no language reaches 5%."""
     toks = _tokens(text_col)
-    n = F.size(toks)
-    ratios = {
-        lang: F.size(
-            F.filter(toks, lambda t: t.isin(markers))  # noqa: B023
-        ) / n
-        for lang, markers in LANG_MARKERS.items()
+    # integer HALF_UP ppm ratios (r06 money sweep): hits/n is a rational
+    # that can sit exactly on a 6dp half; the threshold and argmax also
+    # compare the exact bigints, identical on both engines.
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("_n"),
+        *[
+            F.size(
+                F.filter(toks, lambda t: t.isin(markers))  # noqa: B023
+            ).alias(f"_h_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    ppm = {
+        lang: F.expr(
+            f"(2 * 1000000 * cast(_h_{lang} as bigint) + _n)"
+            " div (2 * cast(_n as bigint))"
+        )
+        for lang in LANG_MARKERS
     }
-    best_ratio = F.greatest(*ratios.values())
+    best_ppm = F.greatest(*ppm.values())
     # first-wins among alphabetically sorted langs: build the when-chain in
     # reverse so the earliest language is the outermost condition
     pred = F.lit("und")
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when(
-            (ratios[lang] >= 0.05) & (ratios[lang] == best_ratio), lang
+            (ppm[lang] >= 50000) & (ppm[lang] == best_ppm), lang
         ).otherwise(pred)
-    return docs.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         pred.alias("lang_pred"),
-        F.round(best_ratio, 6).alias("marker_ratio"),
+        (best_ppm / F.lit(1000000.0)).alias("marker_ratio"),
     )
 
 
@@ -175,13 +208,19 @@ def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         .groupBy("id", "shingle")
         .agg(F.count("*").alias("c"))
     )
-    return per.groupBy("id").agg(
-        F.sum("c").cast("int").alias("n_shingles"),
+    agg = per.groupBy("id").agg(
+        F.sum("c").alias("_tot"),
         F.max("c").cast("int").alias("max_repeat"),
-        F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-            / F.sum("c"), 6,
-        ).alias("rep_ratio"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+    )
+    # integer HALF_UP ppm then exact /1e6 (r06 money sweep): dup/tot is a
+    # rational that can sit exactly on a 6dp half across engines
+    return agg.select(
+        "id",
+        F.col("_tot").cast("int").alias("n_shingles"),
+        "max_repeat",
+        (F.expr("(2 * 1000000 * _dup + _tot) div (2 * _tot)")
+         / F.lit(1000000.0)).alias("rep_ratio"),
     )
 
 
