@@ -84,9 +84,9 @@ def single_row_prf(pred: DataFrame, gold: DataFrame,
     rec = F.col("overlap_cnt") / (F.col("gold_cnt") + F.lit(_SMOOTH))
     return row.select(
         "gold_cnt", "guess_cnt", "overlap_cnt",
-        F.round(pre, 6).alias("precision"),
-        F.round(rec, 6).alias("recall"),
-        F.round(2 * pre * rec / (pre + rec + F.lit(_SMOOTH)), 6).alias("f1"),
+        F.round(pre, 6).alias("precision"),  # money: coprime
+        F.round(rec, 6).alias("recall"),  # money: coprime
+        F.round(2 * pre * rec / (pre + rec + F.lit(_SMOOTH)), 6).alias("f1"),  # money: coprime
     )
 
 

@@ -479,9 +479,9 @@ def q_kg_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_type_prf(pred, gold)
     return out.select(
         "entity_type", "gold_cnt", "guess_cnt", "overlap_cnt",
-        F.round("precision", 6).alias("precision"),
-        F.round("recall", 6).alias("recall"),
-        F.round("f1", 6).alias("f1"),
+        F.round("precision", 6).alias("precision"),  # money: coprime
+        F.round("recall", 6).alias("recall"),  # money: coprime
+        F.round("f1", 6).alias("f1"),  # money: coprime
     )
 
 
@@ -785,9 +785,9 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),  # money: grid
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),  # money: grid
+            F.round(  # money: grid
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
             F.sum(F.col("l_quantity").cast("long")).alias("_sq"),
@@ -830,7 +830,7 @@ def q_rel_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "rnk", "c_custkey",
-                F.round("c_acctbal", 2).alias("acctbal"))
+                F.round("c_acctbal", 2).alias("acctbal"))  # money: grid
     )
 
 
@@ -861,7 +861,7 @@ def q_rel_order_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),  # money: grid
         )
     )
 
@@ -881,7 +881,7 @@ def q_rel_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))  # money: grid
     )
 
 
@@ -931,7 +931,7 @@ def q_rel_events_json_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),  # money: grid
             # integer HALF_UP at e4 scale (r05 money sweep): avg of ints
             # is a non-terminating s/c a fixed double round can sit on
             F.sum(F.col("k").cast("long")).alias("_sk"),
@@ -986,7 +986,7 @@ def q_rel_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
             # 4dp round = identity on the 4dp-exact price x discount sum;
             # 2dp sat on the half-cent HALF_UP divergence (r05 money sweep)
-            F.round(
+            F.round(  # money: grid
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
         )
@@ -1123,7 +1123,7 @@ def q_rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(F.round(F.sum("o_totalprice"), 2))  # money: grid
         .select(
             "o_orderpriority",
             F.col("F").alias("rev_f"),
@@ -1152,10 +1152,10 @@ def q_rel_acctbal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates are engine-specific and not gateable."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
-        F.round(F.min("c_acctbal"), 4).alias("lo"),
-        F.round(F.max("c_acctbal"), 4).alias("hi"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),  # money: grid
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),  # money: grid
+        F.round(F.min("c_acctbal"), 4).alias("lo"),  # money: grid
+        F.round(F.max("c_acctbal"), 4).alias("hi"),  # money: grid
     )
 
 
@@ -1193,7 +1193,7 @@ def q_rel_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("user_id", "session_idx")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),  # money: grid
             F.floor((F.max("tus") - F.min("tus")) / 1_000_000)
             .cast("long").alias("duration_sec"),
         )
@@ -1541,7 +1541,7 @@ def q_rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("level"),
             (F.col("b") * secs).cast("long").alias("bucket_start_sec"),
             "event_type", F.col("n").cast("long").alias("n_events"),
-            F.round(F.col("v") / 100.0, 2).alias("total_value"),
+            F.round(F.col("v") / 100.0, 2).alias("total_value"),  # money: grid
         )
 
     return (
@@ -1617,7 +1617,7 @@ def q_rel_lpc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("occupied").cast("long").alias("occupied"),
         F.when(
             F.col("occupied") < m,
-            F.round(-m * F.log(1.0 - F.col("occupied") / float(m)), 2),
+            F.round(-m * F.log(1.0 - F.col("occupied") / float(m)), 2),  # money: irrational
         ).alias("lpc_estimate"),
         F.col("n_exact").cast("long").alias("n_exact"),
     )
@@ -2137,8 +2137,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         with_cosine(pairs)
-        .filter(F.round(F.col("cosine"), 6) >= 0.45)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.round(F.col("cosine"), 6) >= 0.45)  # money: irrational
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))  # money: irrational
     )
 
 
@@ -3272,7 +3272,7 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_terms"),
-            F.round(F.sum("w"), 6).alias("score"),
+            F.round(F.sum("w"), 6).alias("score"),  # money: irrational
         )
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
@@ -3400,7 +3400,7 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.join(deg, r["node"] == deg["src"]).select(
-        "node", F.col("deg"), F.round("rank", 6).alias("rank")
+        "node", F.col("deg"), F.round("rank", 6).alias("rank")  # money: irrational
     )
 
 
@@ -3723,7 +3723,7 @@ def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         16, 10,
     ).cast("long")
     u = (v + 0.5) / F.lit(4294967296.0)
-    pri = F.round(F.log(u) / w, 6)
+    pri = F.round(F.log(u) / w, 6)  # money: irrational
     return (
         d.select(
             "doc_id", w.cast("int").alias("n_tokens"), pri.alias("priority")
@@ -3955,7 +3955,7 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_tokens"),
-            F.round(-F.avg("logp"), 6).alias("surprisal_nats"),
+            F.round(-F.avg("logp"), 6).alias("surprisal_nats"),  # money: irrational
         )
     )
 
@@ -4004,7 +4004,7 @@ def q_rel_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_value"),  # money: grid
         )
     )
 
@@ -4210,7 +4210,7 @@ def q_kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sa").alias("surface_a"),
             F.col("sb").alias("surface_b"),
             "n_ab",
-            F.round(
+            F.round(  # money: irrational
                 F.log(F.col("n_ab").cast("double") * F.col("n_turns")
                       / (F.col("n_a") * F.col("n_b").cast("double"))), 6
             ).alias("pmi"),
@@ -4557,7 +4557,7 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id", "tok",
-            F.round(
+            F.round(  # money: irrational
                 F.col("tf")
                 * F.log((F.col("n_docs") + 1) / (F.col("df") + F.lit(1.0))),
                 6,
@@ -4622,7 +4622,7 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.col("k").cast("int").alias("n_terms"),
-        F.round(
+        F.round(  # money: irrational
             (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
             / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")), 6
         ).alias("zipf_slope"),
@@ -4674,9 +4674,9 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold) but NULL in DuckDB (dropped) — drop it on both engines
     return (
         scored.filter(~F.isnan("cosine")
-                      & (F.round(F.col("cosine"), 6) >= 0.2))
+                      & (F.round(F.col("cosine"), 6) >= 0.2))  # money: irrational
         .select("query_id", "vec_id",
-                F.round("cosine", 6).alias("cosine"))
+                F.round("cosine", 6).alias("cosine"))  # money: irrational
     )
 
 
@@ -5127,7 +5127,7 @@ def q_kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(
             F.count("*").cast("int").alias("n_shared"),
-            F.round(F.sum(F.lit(1.0) / F.log(F.col("deg_n"))), 6)
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("deg_n"))), 6)  # money: irrational
             .alias("aa_score"),
         )
         .select(F.col("a").alias("surface_a"),
@@ -5410,7 +5410,7 @@ def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_bigrams"),
-            F.round(-F.avg("logp"), 6).alias("surprisal_nats"),
+            F.round(-F.avg("logp"), 6).alias("surprisal_nats"),  # money: irrational
         )
     )
 
@@ -5477,7 +5477,7 @@ def q_rel_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.when(
             (varx > 0) & (vary > 0),
-            F.round((n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)), 6),
+            F.round((n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)), 6),  # money: irrational
         ).alias("corr_qty_price"),
     )
 
@@ -5578,7 +5578,7 @@ def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),  # money: grid
         )
         .select("gid", "o_orderpriority", "o_orderstatus", "n_orders",
                 "revenue")
@@ -5639,7 +5639,7 @@ def q_kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.join(base.select("node", F.col("s").cast("int").alias("is_seed")),
                "node")
-        .select("node", "is_seed", F.round("rank", 6).alias("ppr"))
+        .select("node", "is_seed", F.round("rank", 6).alias("ppr"))  # money: irrational
     )
 
 
@@ -5916,7 +5916,7 @@ def q_rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("o_orderdate").alias("year"))
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
+            F.round(  # money: grid
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 4,
             ).alias("revenue"),

@@ -95,7 +95,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "rnk", "vec_id", F.round("cosine", 6).alias("cosine"))  # money: irrational
     )
 
 
@@ -278,7 +278,7 @@ def hyperplane_bits(
         .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
         .select(
             "vec_id", "j",
-            (F.round(F.col("dot"), 6) > 0).cast("int").alias("bit"),
+            (F.round(F.col("dot"), 6) > 0).cast("int").alias("bit"),  # money: irrational
         )
     )
 
@@ -533,8 +533,8 @@ def embedding_lsh_pairs(
         .join(b.hint("shuffle_hash"), "id_b")
     )
     return (
-        verified.filter(F.round(F.col("cosine"), 6) >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        verified.filter(F.round(F.col("cosine"), 6) >= threshold)  # money: irrational
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))  # money: irrational
     )
 
 
@@ -593,5 +593,5 @@ def ivf_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "rnk", "vec_id", F.round("cosine", 6).alias("cosine"))  # money: irrational
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import importlib.util
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -204,3 +205,76 @@ def test_half_up_integer_formula_is_round_half_up(s, c, K):
     got = (2 * s * K + c) // (2 * c)
     expected = math.floor(Fraction(s * K, c) + Fraction(1, 2))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# MONEY.md enforcement: every F.round call site in the package must carry a
+# same-line classification marker, and the class must be one MONEY.md defines.
+# Rational-over-integer outputs must NOT use F.round at all (integer class),
+# so an unmarked site is either an unclassified new query or a regression to
+# the round(p/q, k) form that shipped the r04/r05 reds.
+# ---------------------------------------------------------------------------
+
+import glob
+
+_ALLOWED_CLASSES = {"grid", "irrational", "coprime"}
+_PKG = os.path.join(os.path.dirname(__file__), "..", "autoner_spark")
+
+
+def test_every_round_site_is_classified():
+    unmarked, badclass = [], []
+    for path in glob.glob(os.path.join(_PKG, "**", "*.py"), recursive=True):
+        for i, line in enumerate(open(path), start=1):
+            if "F.round" not in line or line.lstrip().startswith("#"):
+                continue
+            m = re.search(r"#\s*money:\s*(\S+)", line)
+            rel = os.path.relpath(path, _PKG)
+            if m is None:
+                unmarked.append(f"{rel}:{i}")
+            elif m.group(1) not in _ALLOWED_CLASSES:
+                badclass.append(f"{rel}:{i} ({m.group(1)})")
+    assert not unmarked, (
+        "F.round sites without a '# money: <class>' marker (classify per "
+        f"MONEY.md or convert to the integer div form): {unmarked}"
+    )
+    assert not badclass, f"unknown money classes: {badclass}"
+
+
+def test_twin_sql_has_no_bare_rational_round():
+    """The DuckDB twins must not round a '/' rational at a fixed scale in a
+    WHERE/threshold position: the integer div form is the contract. This is a
+    heuristic tripwire, not a proof: it flags round( ... / ... , k) patterns
+    appearing in twin SQL, excluding the documented grid-class divisions by
+    powers of ten (``/ 100.0`` cents and ``/ 1e6`` ppm mappings)."""
+    from autoner_spark import queries as q
+
+    # queries whose rounded rational is irrational by UPSTREAM construction
+    # (the transcendental lives in a prior CTE, invisible to this line scan):
+    # zipf regresses log-freq on log-rank, so the slope is a ratio of sums
+    # of logs (MONEY.md class `irrational`)
+    upstream_irrational = {"text_zipf_slope"}
+
+    offenders = []
+    for name, sql in q.ORACLE_SQL.items():
+        if name in upstream_irrational:
+            continue
+        for m in re.finditer(r"round\(([^()]*(?:\([^()]*\)[^()]*)*),\s*\d+\)",
+                             sql, flags=re.I):
+            inner = m.group(1)
+            if "/" not in inner:
+                continue
+            # grid-class: division by a power-of-ten float literal only
+            if re.fullmatch(r"[^/]*/\s*1(0*)(\.0)?", inner.strip()):
+                continue
+            # irrational class: a transcendental inside the expression
+            if re.search(r"\b(ln|log|log2|log10|sqrt|exp)\s*\(", inner):
+                continue
+            # coprime class: the reference's +1e-6 smoothing makes the
+            # reduced denominator coprime to 10 (MONEY.md)
+            if "+ 0.000001" in inner:
+                continue
+            offenders.append((name, inner.strip()[:60]))
+    assert not offenders, (
+        "twin SQL rounds a rational at fixed scale (use the integer div "
+        f"HALF_UP form, MONEY.md class `integer`): {offenders}"
+    )
