@@ -6113,6 +6113,488 @@ SELECT start AS start_node, w AS walk_id, path FROM s3
 
 
 # ---------------------------------------------------------------------------
+# round-6 wave: remaining TPC-H ask shapes + corpus-scaling text diagnostics
+# + second-order graph structure
+# ---------------------------------------------------------------------------
+
+
+def q_rel_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join customer->orders with the filter INSIDE the join condition (an
+    order excluded by priority must not delete its customer's zero row),
+    count per customer, then histogram the counts. Two key-shuffles on
+    sf-growing relations, both unhinted (AQE owns the strategy); the
+    second aggregate's domain is the order-count range — bounded, tiny.
+    All-integer output: no rounding surface."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        # count(col) skips the NULLs the outer join manufactures
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("int").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+SQL_REL_CUSTDIST = """
+WITH per AS (
+    SELECT c_custkey, cast(count(o_orderkey) AS integer) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS n_custs FROM per GROUP BY c_count
+"""
+
+
+def q_rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    quantity exceeds a threshold, joined back to orders+customer. The
+    per-order aggregate runs FIRST and its HAVING filter cuts the join
+    input to the rare heavy orders (~1% here), so the two following
+    joins carry only survivors — AQE is free to broadcast the filtered
+    aggregate at runtime, which is the data-dependent decision a static
+    hint cannot make. Quantities are integral doubles; the sum is exact
+    below 2^53 and emitted via floor->bigint (DuckDB cast ROUNDS where
+    Spark truncates, CLAUDE.md trap). The date is a wall-clock NTZ
+    string — no timestamp output, no session TZ."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.floor(F.col("q")).cast("long").alias("total_qty"),
+        )
+    )
+
+
+SQL_REL_LARGE_ORDERS = """
+WITH big AS (
+    SELECT l_orderkey, cast(floor(sum(l_quantity)) AS bigint) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_rel_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship count): distinct
+    (part, supplier) pairs from lineitem (the partsupp stand-in), minus
+    a NOT IN supplier exclusion set (negative balance = the complaint
+    stand-in), grouped by part attributes with COUNT(DISTINCT supplier).
+    The anti-join's build side grows with sf so it is UNHINTED (r04
+    static-broadcast discipline); the distinct-pair shuffle is keyed on
+    the pair itself, and the final distinct-count aggregate is Spark's
+    two-phase partial_count(distinct) — no single-point set union.
+    All-integer output."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    excl = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(excl, ps["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").like("MEDIUM%"))
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("int").alias("supplier_cnt"))
+    )
+
+
+SQL_REL_PARTS_SUPPLIER_CNT = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       cast(count(DISTINCT l_suppkey) AS integer) AS supplier_cnt
+FROM ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_rel_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (sales opportunity): customers whose balance beats
+    the positive-balance average AND who placed no recent order, counted
+    per nation. The average never materializes as a double: bal > avg is
+    evaluated as the EXACT integer cross-multiplication
+    cents * n > sum_cents (int64-safe: cents<=1e7 and n*cents<=1e7*n
+    stays under 2^63 for n up to ~1e11 customers), so no engine can
+    disagree at the threshold — the scalar aggregate rides a sanctioned
+    one-row broadcast crossJoin. The recent-orders anti-join side is
+    date-pruned at the scan (pushed predicate), then unhinted. Output is
+    exact integer cents (MONEY.md class integer)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    cc = c.select("c_custkey", "c_nationkey", cents.alias("cents"))
+    stats = (
+        cc.filter(F.col("cents") > 0)
+        .agg(F.sum("cents").alias("s"), F.count("*").alias("n"))
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cc.crossJoin(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(recent, cc["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("cents").alias("total_bal_cents"),
+        )
+    )
+
+
+SQL_REL_SALES_OPPORTUNITY = """
+WITH cc AS (
+    SELECT c_custkey, c_nationkey,
+           cast(floor(c_acctbal * 100 + 0.5) AS bigint) AS cents
+    FROM customer
+),
+stats AS (
+    SELECT cast(sum(cents) AS bigint) AS s, count(*) AS n
+    FROM cc WHERE cents > 0
+)
+SELECT c_nationkey, count(*) AS n_cust,
+       cast(sum(cents) AS bigint) AS total_bal_cents
+FROM cc, stats
+WHERE cents * n > s
+  AND c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_nationkey
+"""
+
+
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
+    discounted revenue for one market segment. Both date predicates are
+    NTZ-literal wall-clock comparisons pushed to the parquet scans
+    (PushedFilters; no session TZ — the top_supplier discipline), the
+    segment filter prunes customer before its join, and the top-10 is a
+    TakeOrderedAndProject (per-partition heap + merge), never a global
+    sort. Revenue sums 4dp-exact discounted prices (MONEY.md class
+    grid); ties are broken by (date, orderkey) so the LIMIT frontier is
+    deterministic on both engines."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        .join(o.filter(F.col("o_orderdate") < cutoff),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+        .agg(
+            F.round(  # money: grid
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_date", "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_REL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_date
+ORDER BY revenue DESC, o_date, o_orderkey
+LIMIT 10
+"""
+
+
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count and total
+    token count at ten doc-id prefix sizes — the corpus diagnostic that
+    says whether more data still buys new vocabulary. The trick that
+    makes it ONE pass instead of ten: vocab(t) = #{tokens whose FIRST
+    doc_id <= t}, so one token->min(doc_id) aggregate (vocabulary-
+    bounded) joined to a 10-row broadcast threshold relation replaces
+    ten corpus scans. Token totals ride the same broadcast over per-doc
+    counts (map-only + one keyed agg). Thresholds derive from
+    max(doc_id) by exact integer div. All-integer output."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mxid"))
+    th = (
+        spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+        .crossJoin(F.broadcast(mx))
+        .select("k", F.expr("(k * mxid) div 10").alias("threshold_doc"))
+    )
+    first = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab = (
+        first.crossJoin(F.broadcast(th))
+        .filter(F.col("first_doc") <= F.col("threshold_doc"))
+        .groupBy("k", "threshold_doc")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    per_doc = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    totals = (
+        per_doc.crossJoin(F.broadcast(th))
+        .filter(F.col("doc_id") <= F.col("threshold_doc"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("n_tokens_seen"))
+    )
+    return vocab.join(totals, "k").select(
+        "k", "threshold_doc", "vocab_size", "n_tokens_seen"
+    )
+
+
+SQL_TEXT_VOCAB_GROWTH = """
+WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+th AS (
+    SELECT cast(k AS integer) AS k, (k * mxid) // 10 AS threshold_doc
+    FROM (SELECT unnest(range(1, 11)) AS k), mx
+),
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+first AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+v AS (
+    SELECT k, threshold_doc, count(*) AS vocab_size
+    FROM th JOIN first ON first_doc <= threshold_doc
+    GROUP BY k, threshold_doc
+),
+dt AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+tt AS (
+    SELECT k, cast(sum(n) AS bigint) AS n_tokens_seen
+    FROM th JOIN dt ON doc_id <= threshold_doc
+    GROUP BY k
+)
+SELECT v.k, v.threshold_doc, v.vocab_size, tt.n_tokens_seen
+FROM v JOIN tt ON v.k = tt.k
+"""
+
+
+def q_text_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-length deciles over the corpus WITHOUT a global sort:
+    the length HISTOGRAM (cardinality bounded by max document length,
+    not corpus size) is cumulated with one unpartitioned window — safe
+    precisely because its input is the bounded histogram — and decile d
+    is the smallest length whose cumulative count reaches
+    ceil(d*N/10), computed as the exact integer (d*N + 9) div 10 on
+    both engines (discrete type-1 quantile: no interpolation, no float
+    anywhere). This is how exact percentiles are done at 100 TB when
+    the value domain is small-integer; approx_percentile is the fallback
+    for unbounded domains. All-integer output."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    per = docs.select(F.size(F.split("text", " ")).alias("len"))
+    hist = per.groupBy("len").agg(F.count("*").alias("c"))
+    w = (
+        Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # unpartitioned window on the BOUNDED histogram, not the corpus
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = per.agg(F.count("*").alias("n"))
+    th = (
+        spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(n))
+        .select("decile", F.expr("(decile * n + 9) div 10").alias("need"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(th))
+        .filter(F.col("cum") >= F.col("need"))
+        .groupBy("decile")
+        .agg(F.min("len").alias("len_at_decile"))
+    )
+
+
+SQL_TEXT_LENGTH_DECILES = """
+WITH per AS (
+    SELECT len(string_split(text, ' ')) AS l FROM documents
+),
+hist AS (SELECT l, count(*) AS c FROM per GROUP BY l),
+cum AS (SELECT l, sum(c) OVER (ORDER BY l) AS cum FROM hist),
+n AS (SELECT count(*) AS n FROM per),
+th AS (
+    SELECT cast(d AS integer) AS decile, (d * n + 9) // 10 AS need
+    FROM (SELECT unnest(range(1, 10)) AS d), n
+)
+SELECT decile, cast(min(l) AS integer) AS len_at_decile
+FROM cum, th
+WHERE cum >= need
+GROUP BY decile
+"""
+
+
+def q_kg_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per entity node:
+    c(v) = 2*T(v) / (deg(v)*(deg(v)-1)) — how much of each node's
+    neighborhood is itself connected (community density vs star hubs).
+    Reuses the per-node triangle counts (canonical wedge closure, edge
+    list persisted across the three join legs) and the vocabulary-
+    bounded degree relation; nodes below degree 2 are excluded (the
+    coefficient is undefined). The ratio is a rational over integers,
+    so it is emitted via exact integer HALF_UP ppm then /1e6 (MONEY.md
+    class integer) — round(p/q, 6) is exactly the divergence class the
+    money sweep removed."""
+    edges = persist_tracked(_cooc_edges(spark, sf_dir))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    tri = q_kg_triangles(spark, sf_dir)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, deg["src"] == tri["node"], "left")
+        .select(
+            F.col("src").alias("node"),
+            F.col("deg").cast("int").alias("deg"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            (
+                F.expr(
+                    "(4000000 * coalesce(n_triangles, 0) + deg * (deg - 1))"
+                    " div (2 * deg * (deg - 1))"
+                )
+                / F.lit(1000000.0)
+            ).alias("clustering"),
+        )
+    )
+
+
+SQL_KG_CLUSTERING_COEFF = f"""
+WITH {_COOC_EDGES_CTE},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+tri AS (
+    SELECT xy.sa AS a, xy.sb AS b, yz.sb AS c
+    FROM cpairs xy
+    JOIN cpairs yz ON yz.sa = xy.sb
+    JOIN cpairs xz ON xz.sa = xy.sa AND xz.sb = yz.sb
+),
+tn AS (
+    SELECT node, count(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+)
+SELECT src AS node, cast(deg AS integer) AS deg,
+       cast(coalesce(t, 0) AS bigint) AS n_triangles,
+       ((4000000 * coalesce(t, 0) + deg * (deg - 1))
+        // (2 * deg * (deg - 1))) / 1000000.0 AS clustering
+FROM deg LEFT JOIN tn ON node = src
+WHERE deg >= 2
+"""
+
+
+def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the entity co-occurrence graph: Pearson
+    correlation of (deg(src), deg(dst)) over the symmetrized edge list —
+    one scalar that says whether hubs link to hubs (positive) or to
+    leaves (negative). Same exact-integer-moment discipline as
+    rel_corr_qty_price: the five moments are integer sums (squares as
+    decimal(38,0) so no sf overflows them), cast to double only in the
+    closed form, which is then identical IEEE arithmetic on both
+    engines — never the partition-order-dependent corr() aggregate. One
+    shuffle for degrees, one broadcast-free join per endpoint, one
+    map-side-combined scalar aggregate."""
+    edges = persist_tracked(_cooc_edges(spark, sf_dir))
+    deg = persist_tracked(
+        edges.groupBy("src").agg(F.count("*").alias("deg"))
+    )
+    dx = deg.select(F.col("src").alias("s"), F.col("deg").alias("x"))
+    dy = deg.select(F.col("src").alias("d"), F.col("deg").alias("y"))
+    e2 = (
+        edges.join(dx, edges["src"] == dx["s"])
+        .join(dy, edges["dst"] == dy["d"])
+        .select("x", "y")
+    )
+    m = e2.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round((n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)), 6),  # money: irrational
+        ).alias("assortativity"),
+    )
+
+
+SQL_KG_ASSORTATIVITY = f"""
+WITH {_COOC_EDGES_CTE},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e2 AS (
+    SELECT dx.deg AS x, dy.deg AS y
+    FROM edges e
+    JOIN deg dx ON dx.src = e.src
+    JOIN deg dy ON dy.src = e.dst
+),
+mom AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM e2
+)
+SELECT cast(n AS bigint) AS n_edges,
+       CASE WHEN cast(n AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double) > 0
+             AND cast(n AS double) * cast(syy AS double)
+                 - cast(sy AS double) * cast(sy AS double) > 0
+            THEN round(
+                (cast(n AS double) * cast(sxy AS double)
+                 - cast(sx AS double) * cast(sy AS double))
+                / (sqrt(cast(n AS double) * cast(sxx AS double)
+                        - cast(sx AS double) * cast(sx AS double))
+                   * sqrt(cast(n AS double) * cast(syy AS double)
+                          - cast(sy AS double) * cast(sy AS double))), 6)
+       END AS assortativity
+FROM mom
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6139,7 +6621,17 @@ SELECT start AS start_node, w AS walk_id, path FROM s3
 # class is pinned in-window by rel_supplier_waiting's correlated twin;
 # plus constant/trivially-map-only queries).
 QUERIES = {
-    # --- (1) new this round (r05 wave 5) ---
+    # --- (1) new this round (r06 wave) ---
+    "rel_custdist": q_rel_custdist,
+    "rel_large_orders": q_rel_large_orders,
+    "rel_parts_supplier_cnt": q_rel_parts_supplier_cnt,
+    "rel_sales_opportunity": q_rel_sales_opportunity,
+    "rel_shipping_priority": q_rel_shipping_priority,
+    "text_vocab_growth": q_text_vocab_growth,
+    "text_length_deciles": q_text_length_deciles,
+    "kg_clustering_coeff": q_kg_clustering_coeff,
+    "kg_assortativity": q_kg_assortativity,
+    # --- (1) new last round (r05 wave 5) ---
     "kg_random_walks": q_kg_random_walks,
     "text_source_overlap": q_text_source_overlap,
     "rel_nation_trade": q_rel_nation_trade,
@@ -6282,6 +6774,15 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rel_custdist": SQL_REL_CUSTDIST,
+    "rel_large_orders": SQL_REL_LARGE_ORDERS,
+    "rel_parts_supplier_cnt": SQL_REL_PARTS_SUPPLIER_CNT,
+    "rel_sales_opportunity": SQL_REL_SALES_OPPORTUNITY,
+    "rel_shipping_priority": SQL_REL_SHIPPING_PRIORITY,
+    "text_vocab_growth": SQL_TEXT_VOCAB_GROWTH,
+    "text_length_deciles": SQL_TEXT_LENGTH_DECILES,
+    "kg_clustering_coeff": SQL_KG_CLUSTERING_COEFF,
+    "kg_assortativity": SQL_KG_ASSORTATIVITY,
     "kg_random_walks": SQL_KG_RANDOM_WALKS,
     "text_source_overlap": SQL_TEXT_SOURCE_OVERLAP,
     "rel_nation_trade": SQL_REL_NATION_TRADE,
