@@ -6773,6 +6773,48 @@ QUERIES = {
     "kg_labels_dp": q_kg_labels_dp,
 }
 
+# ROTATION CONTRACT v3 (r06): the driver's 50-row window is now DECLARED
+# as an explicit list instead of being encoded in dict-literal order —
+# the dict above keeps its historical wave grouping for readers, and
+# this list is the single thing to edit each round. Composition rule
+# unchanged (v2): (1) new this round, (2) implementation-or-twin changed
+# this round (comment-only edits excluded), (3) oldest-stale driver
+# rows, deferring the pytest/binary-pinned and subsumed queries listed
+# in the v2 note when space is short.
+_R06_WINDOW = [
+    # (1) new this round — 9
+    "rel_custdist", "rel_large_orders", "rel_parts_supplier_cnt",
+    "rel_sales_opportunity", "rel_shipping_priority", "text_vocab_growth",
+    "text_length_deciles", "kg_clustering_coeff", "kg_assortativity",
+    # (2) changed this round — the four r05 driver-reds (HUGEINT-cast
+    # twins + domain_mix ppm + top_supplier NTZ) ...
+    "rel_cube_orders", "rel_important_parts", "rel_top_supplier",
+    "text_domain_mix",
+    # ... the r06 money-sweep ppm conversions (Spark + twin) ...
+    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_jaccard_routed",
+    "dedup_apply_ngram", "dedup_cluster_assign", "dedup_minhash_verified",
+    "dedup_incremental", "kg_common_neighbors", "text_token_stats",
+    "text_quality", "text_langid", "text_repetition",
+    "text_substring_dedup",
+    # ... and the pinned-broadcast removals (plan change, same rows)
+    "rel_nation_trade", "rel_order_revenue_join", "rel_part_type_revenue",
+    "rel_small_qty_revenue", "rel_supplier_waiting",
+    # (3) oldest-stale (r03 cohort) — 19
+    "kg_transcripts", "kg_dict_core", "kg_mentions_exact",
+    "kg_entity_link", "kg_cooccurrence", "kg_conversation_entities",
+    "kg_vocab_semijoin", "kg_tag_mentions_dp", "kg_triples_dp",
+    "kg_labels_dp", "dedup_embedding_cosine", "rel_customers_no_orders",
+    "rel_pivot_status", "rel_setop_customers", "rel_top_customers_window",
+    "text_token_count_bpe", "rel_events_asof", "rel_lpc_distinct",
+    "rel_orders_exists",
+]
+assert len(_R06_WINDOW) == 50 and len(set(_R06_WINDOW)) == 50
+assert set(_R06_WINDOW) <= set(QUERIES), sorted(set(_R06_WINDOW) - set(QUERIES))
+QUERIES = {
+    **{k: QUERIES[k] for k in _R06_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _R06_WINDOW},
+}
+
 ORACLE_SQL = {
     "rel_custdist": SQL_REL_CUSTDIST,
     "rel_large_orders": SQL_REL_LARGE_ORDERS,

@@ -24,7 +24,6 @@ from __future__ import annotations
 import pytest
 
 from autoner_spark.queries import QUERIES
-from autoner_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -49,11 +48,10 @@ NON_REDUCING = {
 }
 
 
-@pytest.fixture(scope="module")
-def spark():
-    s = get_spark("broadcast-discipline", cores=4)
-    yield s
-    s.stop()
+# NOTE: no local spark fixture — the session-scoped conftest fixture is
+# used. A module-scoped get_spark().stop() here kills the SHARED
+# SparkContext (getOrCreate returns one JVM context) for every module
+# that runs after this one.
 
 
 def _children(node):

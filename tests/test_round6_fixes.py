@@ -15,14 +15,12 @@ from __future__ import annotations
 import pytest
 
 from autoner_spark import dedup
-from autoner_spark.session import get_spark
 
 
-@pytest.fixture(scope="module")
-def spark():
-    s = get_spark("round6-fixes", cores=4)
-    yield s
-    s.stop()
+# NOTE: no local spark fixture — the session-scoped conftest fixture is
+# used. A module-scoped get_spark().stop() here kills the SHARED
+# SparkContext (getOrCreate returns one JVM context) for every module
+# that runs after this one.
 
 
 def _docs(spark):
