@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .money import half_up_scaled
+
 
 def _cap_group_size(df: DataFrame, keys: list[str], cap: int | None,
                     min_size: int = 1) -> DataFrame:
@@ -104,16 +106,11 @@ def _verify_exact_jaccard(
         .join(sb.hint("shuffle_hash"), "id_b")
         # integer HALF_UP at ppm scale (r06 money sweep): inter/union is a
         # rational whose true value CAN sit exactly on a 6dp half (e.g.
-        # union 128, inter odd), where Spark's decimal-exact round and
-        # DuckDB's FP-multiply round diverge. (2*10^6*p + q) div (2q) is
-        # exact integer math on both engines; the final /1e6 maps the same
-        # bigint to the same double everywhere.
+        # union 128, inter odd) — see money.half_up_scaled for the
+        # half-boundary and overflow rationale.
         .withColumn(
             "jaccard_ppm",
-            F.expr(
-                "(2 * 1000000 * inter + (sz_a + sz_b - inter))"
-                " div (2 * (sz_a + sz_b - inter))"
-            ),
+            half_up_scaled("inter", "sz_a + sz_b - inter", 1_000_000),
         )
         .filter(F.col("jaccard_ppm") >= int(round(threshold * 1e6)))
         .select("id_a", "id_b",
@@ -239,14 +236,11 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa.hint("shuffle_hash"), "id_a")
         .join(sb.hint("shuffle_hash"), "id_b")
-        # integer HALF_UP ppm then exact /1e6 — see _verify_exact_jaccard
+        # integer HALF_UP ppm then exact /1e6 — see money.half_up_scaled
         # for the half-boundary rationale (r06 money sweep).
         .withColumn(
             "jaccard_ppm",
-            F.expr(
-                "(2 * 1000000 * inter + (sz_a + sz_b - inter))"
-                " div (2 * (sz_a + sz_b - inter))"
-            ),
+            half_up_scaled("inter", "sz_a + sz_b - inter", 1_000_000),
         )
         .filter(F.col("jaccard_ppm") >= int(round(threshold * 1e6)))
         .select("id_a", "id_b",

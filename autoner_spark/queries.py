@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from .caching import persist_tracked
 from .canonicalize import connected_components
 from .dictionary import DictionarySpec, build_trie
+from .money import half_up_scaled
 from .tagger import tag_transcripts
 from .triples import dict_surfaces_df, link_mentions
 
@@ -1728,12 +1729,19 @@ def q_dedup_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (within budget — the gate scales land here, so this query SHARES the
     plain jaccard twin and the routing is pinned lossless) or reroutes
     to LSH+exact-verify where a flat-but-fat df profile would turn
-    sum(df^2) superlinear (the 10x bench corpus)."""
+    sum(df^2) superlinear (the 10x bench corpus). Harnesses that already
+    know the regime (the local gate at a pinned sf, plan dumps) export
+    AUTONER_JACCARD_ROUTE=exact|lsh to skip the eager profile job and
+    build the plan lazily — both routes score pairs over the same
+    df-capped universe, so the override never changes an emitted value."""
+    import os
+
     from .dedup import ngram_jaccard_pairs_routed
 
     return ngram_jaccard_pairs_routed(
         load_parallel(spark, sf_dir, "documents"), n=3, threshold=0.5,
         max_shingle_df=1000,
+        route=os.environ.get("AUTONER_JACCARD_ROUTE") or None,
     )
 
 
@@ -4297,8 +4305,7 @@ def q_kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             # integer HALF_UP ppm then exact /1e6 (r06 money sweep): the
             # rational n_common/union can sit exactly on a 6dp half
-            (F.expr("(2 * 1000000 * n_common + (da + db - n_common))"
-                    " div (2 * (da + db - n_common))")
+            (half_up_scaled("n_common", "da + db - n_common", 1_000_000)
              / F.lit(1000000.0)).alias("nb_jaccard"),
         )
     )
@@ -4768,8 +4775,7 @@ def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer HALF_UP ppm then exact /1e6 (r06 money sweep):
             # n_dup/n_windows can sit exactly on a 6dp half (e.g.
             # n_windows = 128, n_dup odd)
-            (F.expr("(2 * 1000000 * cast(n_dup_windows as bigint)"
-                    " + n_windows) div (2 * cast(n_windows as bigint))")
+            (half_up_scaled("n_dup_windows", "n_windows", 1_000_000)
              / F.lit(1000000.0)).alias("dup_fraction"),
         )
     )
@@ -4876,18 +4882,12 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.crossJoin(F.broadcast(tot))
         .select(
             "source", "n_docs", "n_tokens",
-            F.expr(
-                "cast((2 * 1000000 * cast(n_tokens as decimal(38,0))"
-                " + total_tokens)"
-                " div (2 * cast(total_tokens as decimal(38,0)))"
-                " as bigint)"
-            ).alias("share_ppm"),
-            F.expr(
-                "cast((2 * 1000000 * cast(total_tokens as decimal(38,0))"
-                " + n_sources * cast(n_tokens as decimal(38,0)))"
-                " div (2 * n_sources * cast(n_tokens as decimal(38,0)))"
-                " as bigint)"
-            ).alias("weight_e6"),
+            half_up_scaled("n_tokens", "total_tokens", 1_000_000,
+                           width="decimal(38,0)").alias("share_ppm"),
+            half_up_scaled("total_tokens",
+                           "n_sources * cast(n_tokens as decimal(38,0))",
+                           1_000_000,
+                           width="decimal(38,0)").alias("weight_e6"),
         )
     )
 
@@ -6467,16 +6467,35 @@ def q_kg_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per entity node:
     c(v) = 2*T(v) / (deg(v)*(deg(v)-1)) — how much of each node's
     neighborhood is itself connected (community density vs star hubs).
-    Reuses the per-node triangle counts (canonical wedge closure, edge
-    list persisted across the three join legs) and the vocabulary-
-    bounded degree relation; nodes below degree 2 are excluded (the
-    coefficient is undefined). The ratio is a rational over integers,
-    so it is emitted via exact integer HALF_UP ppm then /1e6 (MONEY.md
-    class integer) — round(p/q, 6) is exactly the divergence class the
-    money sweep removed."""
-    edges = persist_tracked(_cooc_edges(spark, sf_dir))
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    tri = q_kg_triangles(spark, sf_dir)
+    ONE persisted canonical pair relation feeds both consumers: degrees
+    via an endpoint explode (each distinct pair contributes exactly one
+    to each endpoint — the same count the symmetrized edge list gives)
+    and triangles via the canonical wedge closure over the same three
+    join legs — so the transcripts->mentions->distinct-pairs lineage
+    materializes ONCE (the r06 review found the earlier form ran it
+    twice, once per independent persist). Nodes below degree 2 are
+    excluded (the coefficient is undefined). The ratio is a rational
+    over integers, so it is emitted via exact integer HALF_UP ppm then
+    /1e6 (MONEY.md class integer) — round(p/q, 6) is exactly the
+    divergence class the money sweep removed."""
+    p = persist_tracked(
+        q_kg_cooccurrence(spark, sf_dir).select("surface_a", "surface_b")
+    )
+    deg = (
+        p.select(F.explode(F.array("surface_a", "surface_b")).alias("src"))
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+    xy = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("b"))
+    yz = p.select(F.col("surface_a").alias("b"), F.col("surface_b").alias("c"))
+    xz = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("c"))
+    tri = (
+        xy.join(yz, "b")
+        .join(xz, ["a", "c"])
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
     return (
         deg.filter(F.col("deg") >= 2)
         .join(tri, deg["src"] == tri["node"], "left")
@@ -6485,10 +6504,8 @@ def q_kg_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("deg").cast("int").alias("deg"),
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
             (
-                F.expr(
-                    "(4000000 * coalesce(n_triangles, 0) + deg * (deg - 1))"
-                    " div (2 * deg * (deg - 1))"
-                )
+                half_up_scaled("2 * coalesce(n_triangles, 0)",
+                               "deg * (deg - 1)", 1_000_000)
                 / F.lit(1000000.0)
             ).alias("clustering"),
         )

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .money import half_up_scaled
+
 STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in"]
 
 LANG_MARKERS: dict[str, list[str]] = {
@@ -44,10 +46,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     )
     return base.select(
         "id", "n_tokens", "n_chars",
-        (F.expr(
-            "(2 * 10000 * (cast(n_chars as bigint) - (n_tokens - 1))"
-            " + n_tokens) div (2 * cast(n_tokens as bigint))"
-        ) / F.lit(10000.0)).alias("avg_token_len"),
+        (half_up_scaled("cast(n_chars as bigint) - (n_tokens - 1)",
+                        "n_tokens", 10_000)
+         / F.lit(10000.0)).alias("avg_token_len"),
     )
 
 
@@ -72,15 +73,12 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     return base.select(
         "id",
         F.col("_n").alias("n_tokens"),
-        (F.expr("(2 * 1000000 * cast(_s as bigint) + _n)"
-                " div (2 * cast(_n as bigint))")
+        (half_up_scaled("_s", "_n", 1_000_000)
          / F.lit(1000000.0)).alias("stopword_ratio"),
-        (F.expr("(2 * 1000000 * cast(_d as bigint) + _n)"
-                " div (2 * cast(_n as bigint))")
+        (half_up_scaled("_d", "_n", 1_000_000)
          / F.lit(1000000.0)).alias("distinct_ratio"),
-        (F.expr("(2 * 1000000 * cast(_d as bigint) * (_n - _s)"
-                " + cast(_n as bigint) * _n)"
-                " div (2 * cast(_n as bigint) * _n)")
+        (half_up_scaled("cast(_d as bigint) * (_n - _s)",
+                        "cast(_n as bigint) * _n", 1_000_000)
          / F.lit(1000000.0)).alias("quality"),
     )
 
@@ -104,10 +102,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
         ],
     )
     ppm = {
-        lang: F.expr(
-            f"(2 * 1000000 * cast(_h_{lang} as bigint) + _n)"
-            " div (2 * cast(_n as bigint))"
-        )
+        lang: half_up_scaled(f"_h_{lang}", "_n", 1_000_000)
         for lang in LANG_MARKERS
     }
     best_ppm = F.greatest(*ppm.values())
@@ -219,7 +214,7 @@ def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         "id",
         F.col("_tot").cast("int").alias("n_shingles"),
         "max_repeat",
-        (F.expr("(2 * 1000000 * _dup + _tot) div (2 * _tot)")
+        (half_up_scaled("_dup", "_tot", 1_000_000)
          / F.lit(1000000.0)).alias("rep_ratio"),
     )
 

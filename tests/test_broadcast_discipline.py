@@ -95,11 +95,14 @@ def _pinned_growing_broadcasts(df):
     return bad
 
 
-def test_no_rel_query_pins_broadcast_on_growing_dimension(spark):
+def test_no_query_pins_broadcast_on_growing_dimension(spark, monkeypatch):
+    # every registry family is walked (the r06 review found the original
+    # rel_-only filter left the documents/embeddings/events sentinels
+    # unreachable); route override keeps the jaccard router's plan
+    # construction lazy (no eager profile job inside the loop)
+    monkeypatch.setenv("AUTONER_JACCARD_ROUTE", "exact")
     offenders = {}
     for qname, fn in QUERIES.items():
-        if not qname.startswith("rel_"):
-            continue
         df = fn(spark, SF_DIR)
         bad = _pinned_growing_broadcasts(df)
         if bad:

@@ -278,3 +278,60 @@ def test_twin_sql_has_no_bare_rational_round():
         "twin SQL rounds a rational at fixed scale (use the integer div "
         f"HALF_UP form, MONEY.md class `integer`): {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# the shared helper (autoner_spark/money.py) must bake the overflow
+# discipline in: operands cast to the carrier width OUTSIDE the scale
+# multiply, so an int-typed source column (F.size, cast('int') counts)
+# cannot wrap int32 under non-ANSI Spark — the r06 review's finding on
+# the hand-expanded sites.
+# ---------------------------------------------------------------------------
+
+
+def test_half_up_scaled_int_typed_input_does_not_wrap(spark):
+    from autoner_spark.money import half_up_scaled
+
+    # 2 * 1_000_000 * 3000 = 6e9 > 2^31: an uncast int multiply would
+    # wrap (non-ANSI Spark int arithmetic is silent modular)
+    df = spark.createDataFrame(
+        [(3000, 9000)], "num int, den int"
+    ).select(half_up_scaled("num", "den", 1_000_000).alias("ppm"))
+    [row] = df.collect()
+    assert row.ppm == 333333  # round(3000/9000, 6) * 1e6, HALF_UP
+
+
+def test_half_up_scaled_matches_exact_fraction_on_halves(spark):
+    from fractions import Fraction
+
+    from autoner_spark.money import half_up_scaled
+
+    cases = [(1, 128), (3, 128), (1, 2), (5, 8), (1, 3), (2, 3),
+             (999999, 1000000), (1, 1000000), (0, 7)]
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(cases)],
+        "i int, num long, den long",
+    ).select("i", half_up_scaled("num", "den", 1_000_000).alias("ppm"))
+    got = {r.i: r.ppm for r in df.collect()}
+    for i, (n, d) in enumerate(cases):
+        expected = math.floor(Fraction(n * 1_000_000, d) + Fraction(1, 2))
+        assert got[i] == expected, (n, d)
+
+
+def test_half_up_scaled_decimal_width_carries_past_int64(spark):
+    from autoner_spark.money import half_up_scaled
+
+    # numerator near int64 max: bigint 2*1e6*num would overflow; the
+    # decimal(38,0) carrier (the domain_mix convention) must not
+    from fractions import Fraction
+
+    num, den = 2**61, 2**62 - 1
+    df = spark.createDataFrame(
+        [(num, den)], "num long, den long"
+    ).select(
+        half_up_scaled("num", "den", 1_000_000,
+                       width="decimal(38,0)").alias("ppm")
+    )
+    [row] = df.collect()
+    expected = math.floor(Fraction(num * 1_000_000, den) + Fraction(1, 2))
+    assert row.ppm == expected

@@ -53,6 +53,26 @@ def test_route_override_skips_the_eager_profile_job(spark, monkeypatch):
         dedup.ngram_jaccard_pairs_routed(docs, route="fastest")
 
 
+def test_registry_wrapper_honors_route_env_override(spark, monkeypatch):
+    """The REGISTRY entry (the only form the gate/driver can call) must
+    also be buildable lazily: AUTONER_JACCARD_ROUTE pins the route so
+    q_dedup_jaccard_routed constructs no eager profile job (the r06
+    review found the env knob existed in dedup.py but the registry
+    wrapper never forwarded it)."""
+    from autoner_spark import queries as Q
+
+    def boom(*a, **k):  # noqa: ANN002, ANN003
+        raise AssertionError("profile job ran despite env route override")
+
+    monkeypatch.setattr(dedup, "estimate_candidate_pair_mass", boom)
+    monkeypatch.setenv("AUTONER_JACCARD_ROUTE", "exact")
+    df = Q.q_dedup_jaccard_routed(spark, "/root/testdata/sf0.001")
+    assert set(df.columns) == {"id_a", "id_b", "jaccard"}
+    from autoner_spark.caching import release_caches
+
+    release_caches()
+
+
 def test_routes_agree_on_pair_values_under_df_cap(spark):
     docs = _docs(spark)
     cap = 4  # the boilerplate shingles (df=8) are dropped by the cap

@@ -54,6 +54,14 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # The gate runs at a pinned small sf where the jaccard router's
+    # auto-profile always lands on the exact route; pinning it here keeps
+    # plan construction lazy (no eager pair-mass scan per ADVICE r05) and
+    # changes no value — both routes share the df-capped shingle universe.
+    import os
+
+    os.environ.setdefault("AUTONER_JACCARD_ROUTE", "exact")
+
     import duckdb
 
     import __spark_entry__ as entrymod
