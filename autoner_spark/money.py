@@ -28,10 +28,10 @@ derived once instead of per hand-expanded site:
   back to bigint, which the quotient — a ratio at 10^k scale — always
   fits.
 
-Remaining hand-expanded sites (rel_pricing_summary, events_json_hourly,
-rolling_spend, contamination_frac, minhash calibration, order_gaps,
-source_overlap) carry the same algebra inline and convert to this
-helper as the rotation contract windows them.
+Every Spark-side site now routes through this helper (the final seven
+hand-expanded sites converted with the r06 window refresh); the DuckDB
+twins keep the algebra written out in SQL, where it is the portable
+form both engines share.
 """
 from pyspark.sql import Column
 from pyspark.sql import functions as F

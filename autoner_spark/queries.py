@@ -799,7 +799,7 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(
             "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
             "sum_disc_price",
-            (F.expr("(2 * _sq * 10000 + count_order) div (2 * count_order)")
+            (half_up_scaled("_sq", "count_order", 10_000)
              / F.lit(10000.0)).alias("avg_qty"),
             "count_order",
         )
@@ -942,7 +942,7 @@ def q_rel_events_json_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour", "event_type", "n_events", "total_value",
             F.when(
                 F.col("_ck") > 0,
-                F.expr("(2 * _sk * 10000 + _ck) div (2 * _ck)")
+                half_up_scaled("_sk", "_ck", 10_000)
                 / F.lit(10000.0),
             ).alias("avg_k"),
         )
@@ -3908,12 +3908,11 @@ def q_rel_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(trail).cast("long").alias("_s3"),
         F.count("*").over(trail).cast("long").alias("_c3"),
     )
-    # integer HALF_UP: floor((2s + c) / 2c) == round-half-up(s/c) for
-    # positive s — bigint `div` keeps it exact past 2^53
+    # integer HALF_UP: round-half-up(s/c) with s already at cents scale,
+    # so scale=1 — bigint `div` keeps it exact past 2^53
     return base.select(
         "custkey", "orderkey", "order_seq", "cum_cents",
-        F.expr("(2 * _s3 + _c3) div (2 * _c3)").cast("long")
-        .alias("trailing3_avg_cents"),
+        half_up_scaled("_s3", "_c3", 1).alias("trailing3_avg_cents"),
     )
 
 
@@ -5345,10 +5344,8 @@ def q_text_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("id").alias("doc_id"), "n_shingles", "n_hit",
-            F.expr(
-                "cast((2 * 1000000 * cast(n_hit as bigint) + n_shingles)"
-                " div (2 * cast(n_shingles as bigint)) as bigint)"
-            ).alias("frac_ppm"),
+            half_up_scaled("n_hit", "n_shingles",
+                           1_000_000).alias("frac_ppm"),
         )
     )
 
@@ -5744,12 +5741,9 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sz_a") + F.col("sz_b")
              - F.coalesce(F.col("inter"), F.lit(0))).cast("int")
             .alias("uni"),
-            F.expr(
-                "cast((2 * 1000000 * cast(coalesce(inter, 0) as bigint)"
-                " + (sz_a + sz_b - coalesce(inter, 0)))"
-                " div (2 * cast(sz_a + sz_b - coalesce(inter, 0) as bigint))"
-                " as bigint)"
-            ).alias("true_ppm"),
+            half_up_scaled("coalesce(inter, 0)",
+                           "sz_a + sz_b - coalesce(inter, 0)",
+                           1_000_000).alias("true_ppm"),
         )
     )
 
@@ -5855,7 +5849,7 @@ def q_rel_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_cg") > 0)
         .select(
             "o_custkey", "n_orders", "min_gap_days", "max_gap_days",
-            (F.expr("(2 * _sg * 10000 + _cg) div (2 * _cg)")
+            (half_up_scaled("_sg", "_cg", 10_000)
              / F.lit(10000.0)).alias("avg_gap_days"),
         )
     )
@@ -5969,10 +5963,8 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source_a", "source_b", "n_shared",
             F.least(F.col("ta"), F.col("tb")).cast("long").alias("min_vocab"),
-            F.expr(
-                "cast((2 * 1000000 * n_shared + least(ta, tb))"
-                " div (2 * cast(least(ta, tb) as bigint)) as bigint)"
-            ).alias("overlap_ppm"),
+            half_up_scaled("n_shared", "least(ta, tb)",
+                           1_000_000).alias("overlap_ppm"),
         )
     )
 
@@ -6813,17 +6805,25 @@ _R06_WINDOW = [
     "dedup_incremental", "kg_common_neighbors", "text_token_stats",
     "text_quality", "text_langid", "text_repetition",
     "text_substring_dedup",
-    # ... and the pinned-broadcast removals (plan change, same rows)
+    # ... the pinned-broadcast removals (plan change, same rows) ...
     "rel_nation_trade", "rel_order_revenue_join", "rel_part_type_revenue",
     "rel_small_qty_revenue", "rel_supplier_waiting",
-    # (3) oldest-stale (r03 cohort) — 19
+    # ... and the shared-helper conversions of the LAST hand-expanded
+    # HALF_UP sites (money.half_up_scaled; value-identical by
+    # construction, windowed because implementation changed)
+    "rel_pricing_summary", "rel_events_json_hourly", "rel_rolling_spend",
+    "text_contamination_frac", "dedup_minhash_estimate", "rel_order_gaps",
+    "text_source_overlap",
+    # (3) oldest-stale (r03 cohort) — 12; evicted to fit the helper
+    # conversions, in the contract's least-marginal-evidence order: the
+    # binary-pinned DP trio (rule 4), the guarded cosine anchor, and
+    # rel_events_asof / rel_lpc_distinct / rel_orders_exists (semantics
+    # pytests; EXISTS class pinned in-window by rel_supplier_waiting)
     "kg_transcripts", "kg_dict_core", "kg_mentions_exact",
     "kg_entity_link", "kg_cooccurrence", "kg_conversation_entities",
-    "kg_vocab_semijoin", "kg_tag_mentions_dp", "kg_triples_dp",
-    "kg_labels_dp", "dedup_embedding_cosine", "rel_customers_no_orders",
+    "kg_vocab_semijoin", "rel_customers_no_orders",
     "rel_pivot_status", "rel_setop_customers", "rel_top_customers_window",
-    "text_token_count_bpe", "rel_events_asof", "rel_lpc_distinct",
-    "rel_orders_exists",
+    "text_token_count_bpe",
 ]
 assert len(_R06_WINDOW) == 50 and len(set(_R06_WINDOW)) == 50
 assert set(_R06_WINDOW) <= set(QUERIES), sorted(set(_R06_WINDOW) - set(QUERIES))

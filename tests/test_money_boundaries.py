@@ -335,3 +335,37 @@ def test_half_up_scaled_decimal_width_carries_past_int64(spark):
     [row] = df.collect()
     expected = math.floor(Fraction(num * 1_000_000, den) + Fraction(1, 2))
     assert row.ppm == expected
+
+
+def test_half_up_sites_all_route_through_the_helper():
+    """No Spark-side code may hand-expand the (2*K*n + d) div (2d)
+    idiom: the overflow/casting discipline lives in money.half_up_scaled
+    exactly once (r06 review). Docstrings may cite the algebra."""
+    import ast
+
+    offenders = []
+    for path in glob.glob(os.path.join(_PKG, "**", "*.py"), recursive=True):
+        if os.path.basename(path) == "money.py":
+            continue
+        tree = ast.parse(open(path).read())
+        # docstrings are bare Expr-statement strings; any OTHER string
+        # constant carrying the idiom is an expression being built
+        docstrings = {
+            id(node.value)
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Expr)
+            and isinstance(node.value, ast.Constant)
+            and isinstance(node.value.value, str)
+        }
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Constant)
+                and isinstance(node.value, str)
+                and "div (2" in node.value
+                and id(node) not in docstrings
+            ):
+                offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, (
+        f"hand-expanded HALF_UP div sites (use money.half_up_scaled): "
+        f"{offenders}"
+    )
