@@ -1731,17 +1731,27 @@ def q_dedup_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     to LSH+exact-verify where a flat-but-fat df profile would turn
     sum(df^2) superlinear (the 10x bench corpus). Harnesses that already
     know the regime (the local gate at a pinned sf, plan dumps) export
-    AUTONER_JACCARD_ROUTE=exact|lsh to skip the eager profile job and
-    build the plan lazily — both routes score pairs over the same
-    df-capped universe, so the override never changes an emitted value."""
+    AUTONER_JACCARD_ROUTE=exact to skip the eager profile job and build
+    the plan lazily. ONLY "exact" is honored here (r06 review): it is
+    the lossless route (complete recall, per-pair values identical), so
+    the override cannot change the emitted row set; "lsh" would shrink
+    recall to the band guarantee and silently diverge from the exact
+    oracle twin, so a stray inherited value fails loudly instead."""
     import os
 
     from .dedup import ngram_jaccard_pairs_routed
 
+    route = os.environ.get("AUTONER_JACCARD_ROUTE") or None
+    if route is not None and route != "exact":
+        raise ValueError(
+            "AUTONER_JACCARD_ROUTE accepts only 'exact' (lossless; an "
+            "'lsh' override would change the emitted row set vs the "
+            f"exact twin): {route!r}"
+        )
     return ngram_jaccard_pairs_routed(
         load_parallel(spark, sf_dir, "documents"), n=3, threshold=0.5,
         max_shingle_df=1000,
-        route=os.environ.get("AUTONER_JACCARD_ROUTE") or None,
+        route=route,
     )
 
 
@@ -3664,6 +3674,26 @@ WHERE levenshtein(surface_a, surface_b) <= 6
 """
 
 
+def _triangle_counts(p: DataFrame) -> DataFrame:
+    """(node, n_triangles) from a canonically-oriented (surface_a <
+    surface_b) DISTINCT pair relation via the two-join wedge closure —
+    each triangle enumerated exactly once. Pass an already-persisted
+    relation: all three join legs read it. Shared by q_kg_triangles and
+    q_kg_clustering_coeff (r06 review: the closure lived in two copies
+    that would drift — e.g. the planned degree-based orientation for
+    skewed graphs must land in one place)."""
+    xy = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("b"))
+    yz = p.select(F.col("surface_a").alias("b"), F.col("surface_b").alias("c"))
+    xz = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("c"))
+    return (
+        xy.join(yz, "b")
+        .join(xz, ["a", "c"])
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation counts on the co-occurrence graph
     — the clustering-structure primitive (community density, spam-graph
@@ -3677,15 +3707,7 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = persist_tracked(
         q_kg_cooccurrence(spark, sf_dir).select("surface_a", "surface_b")
     )
-    xy = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("b"))
-    yz = p.select(F.col("surface_a").alias("b"), F.col("surface_b").alias("c"))
-    xz = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("c"))
-    tri = xy.join(yz, "b").join(xz, ["a", "c"])
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
-    )
+    return _triangle_counts(p)
 
 
 SQL_KG_TRIANGLES = f"""
@@ -6478,16 +6500,7 @@ def q_kg_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src")
         .agg(F.count("*").alias("deg"))
     )
-    xy = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("b"))
-    yz = p.select(F.col("surface_a").alias("b"), F.col("surface_b").alias("c"))
-    xz = p.select(F.col("surface_a").alias("a"), F.col("surface_b").alias("c"))
-    tri = (
-        xy.join(yz, "b")
-        .join(xz, ["a", "c"])
-        .select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
-    )
+    tri = _triangle_counts(p)
     return (
         deg.filter(F.col("deg") >= 2)
         .join(tri, deg["src"] == tri["node"], "left")
@@ -6808,19 +6821,24 @@ _R06_WINDOW = [
     # ... the pinned-broadcast removals (plan change, same rows) ...
     "rel_nation_trade", "rel_order_revenue_join", "rel_part_type_revenue",
     "rel_small_qty_revenue", "rel_supplier_waiting",
-    # ... and the shared-helper conversions of the LAST hand-expanded
+    # ... the shared-helper conversions of the LAST hand-expanded
     # HALF_UP sites (money.half_up_scaled; value-identical by
-    # construction, windowed because implementation changed)
+    # construction, windowed because implementation changed) ...
     "rel_pricing_summary", "rel_events_json_hourly", "rel_rolling_spend",
     "text_contamination_frac", "dedup_minhash_estimate", "rel_order_gaps",
     "text_source_overlap",
-    # (3) oldest-stale (r03 cohort) — 12; evicted to fit the helper
+    # ... and kg_triangles (wedge closure extracted into the
+    # _triangle_counts helper shared with kg_clustering_coeff)
+    "kg_triangles",
+    # (3) oldest-stale (r03 cohort) — 11; evicted to fit the helper
     # conversions, in the contract's least-marginal-evidence order: the
-    # binary-pinned DP trio (rule 4), the guarded cosine anchor, and
+    # binary-pinned DP trio (rule 4), the guarded cosine anchor,
     # rel_events_asof / rel_lpc_distinct / rel_orders_exists (semantics
-    # pytests; EXISTS class pinned in-window by rel_supplier_waiting)
+    # pytests; EXISTS class pinned in-window by rel_supplier_waiting),
+    # and kg_cooccurrence (its full lineage incl. the final pair agg is
+    # an executed subtree of in-window kg_clustering_coeff/kg_triangles)
     "kg_transcripts", "kg_dict_core", "kg_mentions_exact",
-    "kg_entity_link", "kg_cooccurrence", "kg_conversation_entities",
+    "kg_entity_link", "kg_conversation_entities",
     "kg_vocab_semijoin", "rel_customers_no_orders",
     "rel_pivot_status", "rel_setop_customers", "rel_top_customers_window",
     "text_token_count_bpe",

@@ -101,15 +101,21 @@ def test_no_query_pins_broadcast_on_growing_dimension(spark, monkeypatch):
     # unreachable); route override keeps the jaccard router's plan
     # construction lazy (no eager profile job inside the loop)
     monkeypatch.setenv("AUTONER_JACCARD_ROUTE", "exact")
-    offenders = {}
-    for qname, fn in QUERIES.items():
-        df = fn(spark, SF_DIR)
-        bad = _pinned_growing_broadcasts(df)
-        if bad:
-            offenders[qname] = bad
     from autoner_spark.caching import release_caches
 
-    release_caches()
+    offenders = {}
+    for qname, fn in QUERIES.items():
+        # release per query (the gate/bench discipline): some plan
+        # constructions run bounded eager actions that materialize their
+        # persist_tracked subtrees, and try/finally keeps a mid-loop
+        # failure from skipping cleanup entirely
+        try:
+            df = fn(spark, SF_DIR)
+            bad = _pinned_growing_broadcasts(df)
+            if bad:
+                offenders[qname] = bad
+        finally:
+            release_caches()
     assert not offenders, (
         "broadcast hints pinned on sf-growing base tables "
         f"(let AQE promote them instead): {offenders}"

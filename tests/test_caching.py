@@ -42,6 +42,8 @@ PERSIST_BEARING = [
     "dedup_minhash_estimate",  # persisted signature + shingle relations
     "text_source_overlap",     # persisted source-keyed shingle relation
     "kg_random_walks",         # persisted symmetric edge list
+    "kg_clustering_coeff",     # persisted canonical pair relation (r06)
+    "kg_assortativity",        # persisted edge list + degree relation
 ]
 
 

@@ -106,3 +106,17 @@ def test_routes_agree_on_pair_values_under_df_cap(spark):
     release_caches()
     assert any(uncapped.get(p) != exact[p] for p in exact), (
         "df cap did not change any value; fixture too weak")
+
+
+def test_registry_wrapper_rejects_lossy_route_override(spark, monkeypatch):
+    """Only 'exact' (lossless) is honored from the environment: an
+    inherited 'lsh' would shrink the emitted row set to the LSH band
+    guarantee while the oracle twin stays exact — the r06 review's
+    spurious-gate-red scenario — so it must fail loudly at plan build."""
+    import pytest
+
+    from autoner_spark import queries as Q
+
+    monkeypatch.setenv("AUTONER_JACCARD_ROUTE", "lsh")
+    with pytest.raises(ValueError, match="row set"):
+        Q.q_dedup_jaccard_routed(spark, "/root/testdata/sf0.001")

@@ -56,11 +56,13 @@ def main():
 
     # The gate runs at a pinned small sf where the jaccard router's
     # auto-profile always lands on the exact route; pinning it here keeps
-    # plan construction lazy (no eager pair-mass scan per ADVICE r05) and
-    # changes no value — both routes share the df-capped shingle universe.
+    # plan construction lazy (no eager pair-mass scan per ADVICE r05).
+    # FORCE-assigned, not setdefault (r06 review): an inherited 'lsh'
+    # would shrink the row set vs the exact twin and fail the gate as a
+    # spurious engine divergence.
     import os
 
-    os.environ.setdefault("AUTONER_JACCARD_ROUTE", "exact")
+    os.environ["AUTONER_JACCARD_ROUTE"] = "exact"
 
     import duckdb
 
