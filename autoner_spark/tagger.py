@@ -217,6 +217,24 @@ def tag_transcripts(
     """
     spark = spark or transcripts.sparkSession
     compiled = compile_trie(trie)
+
+    if not passthrough and tokenizer == "whitespace":
+        # hottest path: fully vectorized batch engine (Arrow + NumPy, no
+        # per-token Python) — semantics pinned to tag_tokens_compiled by
+        # tests/test_tagvec_parity.py and the oracle/binary parity suite
+        from . import tagvec
+
+        bc_vec = spark.sparkContext.broadcast(tagvec.compile_vec(compiled))
+
+        def tag_arrow_vec(batches):
+            vec = bc_vec.value
+            for batch in batches:
+                yield tagvec.tag_record_batch(batch, vec, weight)
+
+        return transcripts.select("conv_id", "turn_idx", "text").mapInArrow(
+            tag_arrow_vec, MENTIONS_SCHEMA
+        )
+
     bc = spark.sparkContext.broadcast(compiled)
     tokenize = TOKENIZERS[tokenizer]
 

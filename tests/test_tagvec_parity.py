@@ -1,0 +1,110 @@
+"""Vectorized batch tagger (tagvec) vs scalar tag_tokens_compiled.
+
+The batch engine must be output-identical — same spans, same types, same
+emission order — on the synthetic corpus (both dictionary profiles), on
+adversarial edge inputs, and on random token soup, for entity and filtered
+weights. Spark-level parity vs the oracle is covered by
+tests/test_tagger_spark.py and tests/test_bc5cdr.py, which now route
+through this engine."""
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from autoner_spark import synth
+from autoner_spark.dictionary import build_trie
+from autoner_spark.tagger import TOKENIZERS, compile_trie, tag_tokens_compiled
+from autoner_spark.tagvec import compile_vec, tag_record_batch
+
+tokenize = TOKENIZERS["whitespace"]
+
+EDGE_ROWS = [
+    {"conv_id": "e", "turn_idx": 0, "text": ""},
+    {"conv_id": "e", "turn_idx": 1, "text": None},
+    {"conv_id": "e", "turn_idx": 2, "text": "   "},
+    {"conv_id": "e", "turn_idx": 3, "text": ", . ( )"},
+    {"conv_id": "e", "turn_idx": 4, "text": "hash  join   shuffle"},
+    {"conv_id": "e", "turn_idx": 5, "text": "zzz unknown qqq"},
+    {"conv_id": "e", "turn_idx": 6, "text": "shuffle"},
+    {"conv_id": "e", "turn_idx": 7, "text": "the the the"},
+    {"conv_id": "e", "turn_idx": 8,
+     "text": "hash join hash join sort merge join the vector"},
+]
+
+
+def scalar_tag(rows, comp, weight):
+    out = []
+    for r in rows:
+        x = r["text"]
+        if not x:
+            continue
+        for b, e, surf, ts in tag_tokens_compiled(tokenize(x), comp, weight):
+            out.append((r["conv_id"], r["turn_idx"], b, e, surf, ts))
+    return out
+
+
+def vec_tag(rows, vec, weight):
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([r["conv_id"] for r in rows], pa.string()),
+            pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            pa.array([r["text"] for r in rows], pa.string()),
+        ],
+        names=["conv_id", "turn_idx", "text"],
+    )
+    out = tag_record_batch(batch, vec, weight)
+    return list(
+        zip(
+            out.column(0).to_pylist(),
+            out.column(1).to_pylist(),
+            out.column(2).to_pylist(),
+            out.column(3).to_pylist(),
+            out.column(4).to_pylist(),
+            out.column(5).to_pylist(),
+        )
+    )
+
+
+@pytest.mark.parametrize("spec_fn,kw", [
+    (synth.dict_spec, {}),
+    (synth.bench_dict_spec, {"min_frags": 12, "rng_frags": 30}),
+])
+@pytest.mark.parametrize("weight", [1.0, 0.5, 2.0, 0.0])
+def test_parity_synth(spec_fn, kw, weight):
+    comp = compile_trie(build_trie(spec_fn()))
+    vec = compile_vec(comp)
+    rows = list(EDGE_ROWS)
+    for c in range(120):
+        for t in range(synth.turns_for_conv(c)):
+            rows.append(synth.turn_row(c, t, **kw))
+    assert vec_tag(rows, vec, weight) == scalar_tag(rows, comp, weight)
+
+
+def test_parity_random_soup():
+    comp = compile_trie(build_trie(synth.dict_spec()))
+    vec = compile_vec(comp)
+    rng = random.Random(7)
+    words = [
+        "hash", "join", "scan", "the", "zz", ",", ".", "(", "shuffle",
+        "table", "big", "small", "sort", "merge", "row", "count", "a",
+    ]
+    rows = [
+        {
+            "conv_id": f"r{i}",
+            "turn_idx": i,
+            "text": " ".join(
+                rng.choice(words) for _ in range(rng.randrange(0, 30))
+            ),
+        }
+        for i in range(3000)
+    ]
+    a = scalar_tag(rows, comp, 1.0)
+    b = vec_tag(rows, vec, 1.0)
+    assert a == b
+    assert a, "stress fixture must produce mentions"
+
+
+def test_empty_batch():
+    vec = compile_vec(compile_trie(build_trie(synth.dict_spec())))
+    assert vec_tag([], vec, 1.0) == []
