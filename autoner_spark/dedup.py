@@ -140,8 +140,24 @@ def _tokens(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def shingle_array(n: int, text_col: str = "text") -> Column:
+    """In-row n-token shingle array (multiset — duplicates kept) for one
+    document: the positional slide over the token array, JVM-side. The
+    ``when(k >= 1, ...)`` guard exists because Spark's ``sequence(0, -1)``
+    is the DESCENDING [0, -1] (not empty), which would drive ``slice``
+    with an invalid start and abort the job."""
+    toks = _tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.transform(
+        F.when(k >= 1, F.sequence(F.lit(0), k - 1))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
 def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                text_col: str = "text", distinct: bool = True) -> DataFrame:
+                text_col: str = "text", distinct: bool = True,
+                id_unique: bool = True) -> DataFrame:
     """(id, shingle): distinct n-token shingles per document (positional
     slide over the token array, JVM-side).
 
@@ -150,20 +166,26 @@ def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     ``sequence(0, -1)`` is the DESCENDING [0, -1] (not empty), which would
     drive ``slice`` with an invalid start and abort the job — matching the
     SQL twins' ``t3 IS NOT NULL`` filter instead."""
-    toks = _tokens(text_col)
-    k = F.size(toks) - (n - 1)
-    sh = F.transform(
-        F.when(k >= 1, F.sequence(F.lit(0), k - 1))
-        .otherwise(F.array().cast("array<int>")),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    sh = shingle_array(n, text_col)
+    # the distinct (id, shingle) set is computed IN-ROW (array_distinct
+    # before the explode — a doc's shingles are already co-located in its
+    # row), not with a .distinct() aggregation: when ``id_col`` is unique
+    # per row (the default doc_id contract) the per-doc dedup IS the
+    # entire (id, shingle) dedup, so the former distinct() Exchange of
+    # the largest relation in every consumer was pure waste (r07; one
+    # full shuffle removed from the whole jaccard/minhash-verified/prefix
+    # family). Callers grouping by a NON-unique id (e.g. source_overlap's
+    # id_col="source") pass id_unique=False to keep the global distinct
+    # on the in-row-reduced rows. ``distinct=False`` skips even the
+    # in-row dedup for consumers whose aggregate is multiset-invariant
+    # (min-hash: min over duplicates == min over the set).
     out = docs.select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(sh) if distinct else sh).alias("shingle"),
     )
-    # ``distinct=False`` skips the dedup shuffle for consumers whose
-    # aggregate is multiset-invariant (min-hash: min over duplicates ==
-    # min over the set).
-    return out.distinct() if distinct else out
+    if distinct and not id_unique:
+        out = out.distinct()
+    return out
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -292,6 +314,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_bands): candidate near-dup pairs sharing >= 1 LSH band.
 
@@ -312,7 +335,8 @@ def minhash_lsh_pairs(
     Plan shape: 3 shuffles end to end — groupBy(id) for the wide signature,
     groupBy(band, bucket) for membership, groupBy(id_a, id_b) for the band
     count. No self-join, no distinct, one md5 per shingle occurrence."""
-    banded = _minhash_banded(docs, num_hashes, band_size, n, id_col, text_col)
+    banded = _minhash_banded(docs, num_hashes, band_size, n, id_col,
+                             text_col, signatures=signatures)
     pairs = _bucket_pairs(banded, ["band", "bucket"], "id", max_bucket_size)
     return pairs.groupBy(
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
@@ -400,16 +424,24 @@ def _minhash_banded(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket): the banded LSH keys behind minhash_lsh_pairs —
-    shared by the pair generator and the drop-stats observability query."""
+    shared by the pair generator and the drop-stats observability query.
+    ``signatures`` lets a caller that already holds (persisted) wide
+    signatures feed them in, so the scan -> shingle -> md5 lineage is not
+    walked a second time (r07: the calibration query's duplicate pass)."""
     if num_hashes % band_size != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by band_size "
             f"({band_size}) — a partial band would silently drop the "
             f"trailing minhashes from the signature"
         )
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

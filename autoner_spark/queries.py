@@ -342,17 +342,26 @@ def q_kg_triples_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     linked = m.join(comp, "surface").withColumn(
         "subj", F.concat(F.lit("ent:"), F.col("component"))
     )
-    has_type = linked.select(
-        "subj", F.lit("has_type").alias("pred"),
-        F.explode(F.split("entity_type", ",")).alias("obj"),
-        "conv_id", "turn_idx",
+    # both triple kinds from ONE pass over the cached mentions (per-row
+    # (pred, obj) array exploded) instead of a two-select union that read
+    # the cache twice (r07); row multiset identical
+    pairs = F.concat(
+        F.transform(
+            F.split("entity_type", ","),
+            lambda t: F.struct(
+                F.lit("has_type").alias("pred"), t.alias("obj")
+            ),
+        ),
+        F.array(F.struct(
+            F.lit("mentioned_in").alias("pred"),
+            F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+            .alias("obj"),
+        )),
     )
-    mentioned = linked.select(
-        "subj", F.lit("mentioned_in").alias("pred"),
-        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).alias("obj"),
-        "conv_id", "turn_idx",
-    )
-    return has_type.unionByName(mentioned)
+    return linked.select(
+        "subj", F.explode(pairs).alias("p"), "conv_id", "turn_idx"
+    ).select("subj", F.col("p.pred").alias("pred"),
+             F.col("p.obj").alias("obj"), "conv_id", "turn_idx")
 
 
 SQL_KG_TRIPLES_EXACT = f"""
@@ -3268,11 +3277,25 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
+    # per-term tf is counted IN-ROW (size of the filtered token array,
+    # one struct per query term), so the postings relation is born tiny:
+    # the former explode-the-token-stream + groupBy(doc_id, dl, tok)
+    # pass shuffled every query-term occurrence just to count per doc
+    # (r07: 1 Exchange + the corpus-sized explode removed)
+    tf_arr = F.array(*[
+        F.struct(
+            F.lit(t).alias("tok"),
+            F.size(
+                F.filter(F.col("toks"), lambda x: x == F.lit(t))
+            ).cast("long").alias("tf"),
+        )
+        for t in terms
+    ])
     tf = persist_tracked(
-        dl.select("doc_id", "dl", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count("*").cast("long").alias("tf"))
+        dl.select("doc_id", "dl", F.explode(tf_arr).alias("s"))
+        .select("doc_id", "dl", F.col("s.tok").alias("tok"),
+                F.col("s.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     df_rel = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     idf = F.log(
@@ -3387,15 +3410,28 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed. FP note: the per-dst sum is order-dependent float addition
     (same accepted 6dp-rounding risk class as rel_time_rollup)."""
     e = q_kg_cooccurrence(spark, sf_dir).select("surface_a", "surface_b")
-    edges = persist_tracked(
+    sym = (
         e.select(F.col("surface_a").alias("src"), F.col("surface_b").alias("dst"))
         .union(
             e.select(F.col("surface_b").alias("src"),
                      F.col("surface_a").alias("dst"))
         )
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # deg is attached to the persisted edge relation ONCE (a window over
+    # the src key — no second pass, no per-iteration deg join), and the
+    # node set is the distinct window output's key set: each unrolled
+    # iteration now costs exactly one join (ranks) + one aggregation,
+    # instead of two joins + a recomputed distinct per rank rebuild
+    # (r07: 3 joins + 3 distincts out of the plan). The contribution stays
+    # sum(rank / deg) — identical float arithmetic to the two-join form.
+    edges = persist_tracked(
+        sym.withColumn(
+            "deg",
+            F.count("*").over(Window.partitionBy("src")).cast("long"),
+        )
+    )
+    deg = edges.groupBy("src").agg(F.first("deg").alias("deg"))
+    nodes = persist_tracked(deg.select(F.col("src").alias("node")))
     nstat = nodes.agg(F.count("*").cast("long").alias("n"))
     r = nodes.crossJoin(F.broadcast(nstat)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -3403,7 +3439,6 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         contrib = (
             edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
@@ -5183,7 +5218,10 @@ def q_rel_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     The supplier join is unhinted: supplier grows with sf (AQE promotes
     it when runtime stats say it fits — the r04 broadcast discipline);
     the per-supplier aggregate side is already grouped small."""
-    li = load(spark, sf_dir, "lineitem").select(
+    # load_parallel: the fact scan feeds two per-row-heavy aggregation
+    # passes; at test scale the single-row-group file would pin both to
+    # one core (r07 — the guard is a structural no-op at production scale)
+    li = load_parallel(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     per = li.groupBy("l_orderkey").agg(
@@ -5409,18 +5447,30 @@ def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a broadcast build (the r04 scale-bug class). Every scored bigram
     is in the model by construction (same corpus), so no OOV branch."""
     d = load_parallel(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " "))
-    ).toDF("doc_id", "pos", "tok")
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # bigrams are built IN-ROW from the token array (a doc's tokens are
+    # already co-located in its row) — the former posexplode + lead()
+    # window paid a full shuffle + sort of the token relation to pair
+    # each token with its neighbor (r07: 1 Exchange + WindowExec removed
+    # from the plan, map-only bigram construction)
+    toks = F.split(F.col("text"), " ")
+    bi_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bi = persist_tracked(
-        toks.select(
-            "doc_id", F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-        ).filter(F.col("w2").isNotNull())
+        d.select("doc_id", F.explode(bi_arr).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c1 aggregates the vocabulary-bounded c12 relation, not the token
+    # stream again: sum of c12 over w2 IS the w1 occurrence count
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     model = c12.join(c1, "w1").select(
         "w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("logp")
     )
@@ -5718,15 +5768,19 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast build (the r04 scale-bug class). The signature and
     distinct-shingle relations are PERSISTED (two and three consumers
     respectively — without the persist each join side re-scans and
-    re-md5s the whole corpus); the candidate generator still walks its
-    own signature lineage once, and production runs the calibration on a
+    re-md5s the whole corpus); the candidate generator consumes the same
+    persisted signatures (r07), and production runs the calibration on a
     sampled candidate subset."""
     from .dedup import minhash_lsh_pairs, minhash_signatures, shingles_df
 
     docs = load_parallel(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3,
-                              max_bucket_size=64).select("id_a", "id_b")
     sig = persist_tracked(minhash_signatures(docs, num_hashes=16, n=3))
+    # the candidate generator consumes the SAME persisted signatures (r07:
+    # its former private signature lineage re-scanned and re-md5'd the
+    # whole corpus once more for nothing)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=3,
+                              max_bucket_size=64,
+                              signatures=sig).select("id_a", "id_b")
     siga = sig.select(F.col("id").alias("id_a"),
                       *[F.col(f"m{h}").alias(f"a{h}") for h in range(16)])
     sigb = sig.select(F.col("id").alias("id_b"),
@@ -5970,7 +6024,10 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _bucket_pairs, shingles_df
 
     docs = load_parallel(spark, sf_dir, "documents")
-    sh = persist_tracked(shingles_df(docs, n=4, id_col="source"))
+    # id_col="source" repeats across docs -> the global distinct must stay
+    sh = persist_tracked(
+        shingles_df(docs, n=4, id_col="source", id_unique=False)
+    )
     shared = (
         _bucket_pairs(sh, ["shingle"], "id", None)
         .groupBy(F.col("a").alias("source_a"), F.col("b").alias("source_b"))

@@ -105,21 +105,31 @@ def assemble_triples(linked: DataFrame, entities: DataFrame) -> DataFrame:
         "subj", F.coalesce(F.col("entity_id"),
                            F.concat(F.lit("ent:"), F.col("surface_norm")))
     )
-    has_type = m.select(
-        "subj",
-        F.lit("has_type").alias("pred"),
-        F.explode(F.split(F.col("entity_type"), ",")).alias("obj"),
-        "conv_id",
-        "turn_idx",
+    # both triple kinds are emitted from ONE pass over the linked relation
+    # (a per-row (pred, obj) array exploded), not a union of two selects:
+    # the union read the persisted mention cache twice — at chain scale
+    # the second full cache scan was the triples stage's dominant cost
+    # (r07). Row multiset is identical to the former
+    # has_type UNION ALL mentioned_in.
+    pairs = F.concat(
+        F.transform(
+            F.split(F.col("entity_type"), ","),
+            lambda t: F.struct(
+                F.lit("has_type").alias("pred"), t.alias("obj")
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.lit("mentioned_in").alias("pred"),
+                F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+                .alias("obj"),
+            )
+        ),
     )
-    mentioned_in = m.select(
-        "subj",
-        F.lit("mentioned_in").alias("pred"),
-        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).alias("obj"),
-        "conv_id",
-        "turn_idx",
-    )
-    return has_type.unionByName(mentioned_in)
+    return m.select(
+        "subj", F.explode(pairs).alias("p"), "conv_id", "turn_idx"
+    ).select("subj", F.col("p.pred").alias("pred"),
+             F.col("p.obj").alias("obj"), "conv_id", "turn_idx")
 
 
 def build_kg(spark, transcripts: DataFrame, spec: DictionarySpec,
