@@ -187,6 +187,10 @@ def _walk_matches(
     alive = st >= 0
     sp = np.flatnonzero(alive)
     st = st[alive]
+    # sentinel-extended ids: reading one past the last token is always a
+    # dead id, so the in-turn bound and the known-id test fuse into one
+    # mask (one compress pass instead of three)
+    ids_ext = np.concatenate((ids, np.full(1, -1, dtype=np.int64)))
     d = 1
     while sp.size:
         k = kind[st]
@@ -198,19 +202,13 @@ def _walk_matches(
         if d >= max_depth:
             break
         # descend: next token must exist in this turn, be a known id, and
-        # the current state must have children
-        cont = haskid[st]
-        sp = sp[cont]
-        st = st[cont]
-        nxt = sp + d
-        ok = nxt < turn_end[sp]
+        # the current state must have children — one fused mask
+        nxt = np.minimum(sp + d, len(ids))
+        tid = ids_ext[nxt]
+        ok = (tid >= 0) & (sp + d < turn_end[sp]) & haskid[st]
         sp = sp[ok]
         st = st[ok]
-        tid = ids[sp + d]
-        ok2 = tid >= 0
-        sp = sp[ok2]
-        st = st[ok2]
-        tid = tid[ok2]
+        tid = tid[ok]
         dense = vec.get("trans_dense")
         if dense is not None:
             nst = dense[st, tid]
@@ -253,13 +251,13 @@ def _dp_segments(
     descending length via ``order``). Returns ENTITY segments as
     (sorted_row, begin, end, tsid) arrays (unordered).
 
-    Column pass: cell c of every active turn is the priority-max over its
-    candidates — matches of depth d (value f[c-d] + delta_d) in DESCENDING
-    d order, then the skip from c-1, then the depth-1 match. That priority
-    order is exactly the chronological update order of the scalar loop
-    (iteration i = c-d runs earlier for larger d; within iteration c-1 the
-    skip precedes the d=1 match), and strict-improvement replacement makes
-    the chronologically first max-achiever win — so values AND traceback
+    Column pass: cell c of every active turn holds the max over its
+    candidates — matches of depth d (value f[c-d] + delta_d) plus the
+    skip from c-1 — folded with one scatter-max; the traceback choice is
+    the chronologically FIRST max-achiever of the scalar loop (iteration
+    i = c-d runs earlier for larger d; within iteration c-1 the skip
+    precedes the d=1 match), reproduced by writing tie-achievers in
+    d-ascending order with the skip>=d1 guard — so values AND traceback
     choices are bit-identical to ``tag_tokens_compiled``.
     """
     n = len(order)
@@ -275,80 +273,94 @@ def _dp_segments(
     k_col = n - np.searchsorted(asc, np.arange(1, maxlen + 1), side="left")
 
     D = int(m_d.max()) if m_d.size else 1
-    deltas = np.where(
-        m_kind == _KIND_ENTITY,
-        (m_d * m_d).astype(np.float64),
-        (weight * m_d) * m_d,
-    )
+    if all(
+        (weight * d) * d == float(d * d) for d in range(1, D + 1)
+    ):
+        # entity and filtered deltas coincide (e.g. the default
+        # weight=1.0): skip the kind-dependent select entirely
+        deltas = (m_d * m_d).astype(np.float64)
+    else:
+        deltas = np.where(
+            m_kind == _KIND_ENTITY,
+            (m_d * m_d).astype(np.float64),
+            (weight * m_d) * m_d,
+        )
 
-    # group matches by (end column, depth): one sparse update batch each
+    # group matches by (end column, depth ASC) — one narrow int32 key
+    # argsort (radix path); end and d are recovered from the key, and the
+    # traceback carries the MATCH INDEX so kind/ts are never permuted.
+    # The depth field is sized from D (a fixed 3-bit field silently
+    # corrupted groups for dictionaries with >7-token surfaces — BC5CDR).
+    shift = max(D, 1).bit_length()
+    mult = np.int64(1 << shift)
+    mask = np.int32((1 << shift) - 1)
     m_end = m_i + m_d
-    g = np.lexsort((m_d, m_end))
-    g_end = m_end[g]
-    g_d = m_d[g]
+    key = (m_end * mult + m_d).astype(np.int32)
+    g = np.argsort(key, kind="stable")
+    g_key = key[g]
+    g_d = (g_key & mask).astype(np.int64)
     g_row = m_row[g]
-    g_i = m_i[g]
-    g_kind = m_kind[g]
-    g_ts = m_ts[g]
     g_delta = deltas[g]
     nmatch = len(g)
     if nmatch:
-        bounds = np.flatnonzero(
-            np.diff(g_end * np.int64(1 << 8) + g_d)
-        ) + 1
+        bounds = np.flatnonzero(np.diff(g_key)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [nmatch]))
     else:
         starts = ends = np.empty(0, dtype=np.int64)
-    grp_end = g_end[starts] if nmatch else starts
-    grp_d = g_d[starts] if nmatch else starts
-    # groups arrive ordered by (end, d ASC); per column we must apply
-    # d DESCENDING (chronologically earlier), so walk each column's group
-    # range backwards
+    grp_end = (g_key[starts] >> shift) if nmatch else starts
+    grp_d = (g_key[starts] & mask) if nmatch else starts
     col_ptr = 0
     ngroups = len(starts)
 
     f = np.empty((n, maxlen + 1), order="F")
     f[:, 0] = 0.0
-    # per-cell winner: 0 = skip, d = match depth; kind/ts of the winner
-    tb_d = np.empty((n, maxlen + 1), dtype=np.int8, order="F")
-    tb_kind = np.empty((n, maxlen + 1), dtype=np.int8, order="F")
-    tb_ts = np.empty((n, maxlen + 1), dtype=np.int64, order="F")
+    # per-cell winner: tb_d = 0 for the skip / d for a match (int64 so
+    # traceback gathers feed arithmetic without astype); tb_idx = the
+    # winning MATCH INDEX, through which kind/ts resolve at traceback
+    # time (no per-match kind/ts permutation in the setup)
+    tb_d = np.empty((n, maxlen + 1), dtype=np.int64, order="F")
+    tb_idx = np.empty((n, maxlen + 1), dtype=np.int64, order="F")
 
+    f_flat = f.T.reshape(-1)  # view over f; flat index = col * n + row
     for c in range(1, maxlen + 1):
         k = int(k_col[c - 1])
         fcol = f[:, c]
         selcol = tb_d[:, c]
-        # baseline: the skip candidate (chronological rank between d=2
-        # matches and the d=1 match)
-        fcol[:k] = f[:k, c - 1]
+        skipv = f[:, c - 1]
+        # baseline: the skip candidate
+        fcol[:k] = skipv[:k]
         selcol[:k] = 0
-        # collect this column's groups (they are consecutive); apply in
-        # d-descending order with the tie rules of the scalar loop:
-        # a d>=2 match beats the skip on ties (it ran earlier), the d=1
-        # match does not (the skip ran first inside iteration c-1)
         lo = col_ptr
         while col_ptr < ngroups and grp_end[col_ptr] == c:
             col_ptr += 1
-        for gi in range(col_ptr - 1, lo - 1, -1):
+        if col_ptr == lo:
+            continue
+        # every match ending at c, all depths fused: one gather + one
+        # scatter-max gives the exact strict-improvement cell values
+        # (max over skip and all candidates)
+        sl = slice(int(starts[lo]), int(ends[col_ptr - 1]))
+        rr = g_row[sl]
+        s = f_flat[(c - g_d[sl]) * n + rr] + g_delta[sl]
+        np.maximum.at(fcol, rr, s)
+        # traceback choice: the chronologically FIRST max-achiever wins
+        # (d descending, then skip, then d=1). Writing tie-achievers in
+        # d-ASCENDING group order makes the largest tied d the final
+        # writer; the skip keeps any cell no match ties; the d=1 group
+        # additionally requires s > skip (the skip ran first inside its
+        # iteration), while d>=2 groups tie-beat the skip.
+        hit = s == fcol[rr]
+        for gi in range(lo, col_ptr):
             d = int(grp_d[gi])
-            sl = slice(int(starts[gi]), int(ends[gi]))
-            rr = g_row[sl]
-            s = f[rr, c - d] + g_delta[sl]
-            cur = fcol[rr]
-            if d >= 2:
-                # a d>=2 match chronologically precedes the skip: it wins
-                # ties against a cell still held by the skip
-                upd = (s > cur) | ((s == cur) & (selcol[rr] == 0))
-            else:
-                # the d=1 match runs chronologically last: strict > only
-                upd = s > cur
-            if upd.any():
-                ru = rr[upd]
-                fcol[ru] = s[upd]
+            gsl = slice(int(starts[gi]), int(ends[gi]))
+            rel = slice(gsl.start - sl.start, gsl.stop - sl.start)
+            m = hit[rel]
+            if d == 1:
+                m = m & (s[rel] > skipv[g_row[gsl]])
+            if m.any():
+                ru = g_row[gsl][m]
                 selcol[ru] = d
-                tb_kind[ru, c] = g_kind[sl][upd]
-                tb_ts[ru, c] = g_ts[sl][upd]
+                tb_idx[ru, c] = g[gsl][m]
 
     # vectorized traceback: pointer-chase c -> c - step, emitting ENTITY
     # segments along the way
@@ -360,20 +372,20 @@ def _dp_segments(
     rows = np.flatnonzero(j > 0)
     while rows.size:
         jr = j[rows]
-        dsel = tb_d[rows, jr].astype(np.int64, copy=False)
-        step = np.where(dsel == 0, 1, dsel)
+        dsel = tb_d[rows, jr]
+        step = np.maximum(dsel, 1)
         ii = jr - step
         em = np.flatnonzero(dsel > 0)
         if em.size:
             er = rows[em]
             je = jr[em]
-            kk = tb_kind[er, je]
-            ent = kk == _KIND_ENTITY
+            idxs = tb_idx[er, je]
+            ent = m_kind[idxs] == _KIND_ENTITY
             if ent.any():
                 seg_r.append(er[ent])
                 seg_b.append(ii[em][ent])
                 seg_e.append(je[ent])
-                seg_t.append(tb_ts[er[ent], je[ent]])
+                seg_t.append(m_ts[idxs[ent]])
         j[rows] = ii
         rows = rows[ii > 0]
     if not seg_r:

@@ -108,3 +108,45 @@ def test_parity_random_soup():
 def test_empty_batch():
     vec = compile_vec(compile_trie(build_trie(synth.dict_spec())))
     assert vec_tag([], vec, 1.0) == []
+
+
+def _deep_spec():
+    """Dictionary with >7-token surfaces: exercises depth fields beyond a
+    3-bit packing (the BC5CDR regression class) and nested prefixes."""
+    from autoner_spark.dictionary import DictionarySpec
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    core = [
+        ("Long", " ".join(words[:9])),
+        ("Long", " ".join(words[:11])),
+        ("Mid", " ".join(words[:4])),
+        ("Short", "alpha beta"),
+        ("Short", "beta gamma"),
+    ]
+    return DictionarySpec(core=core, full=[" ".join(words[2:10])],
+                          stopwords=[])
+
+
+@pytest.mark.parametrize("force_sparse", [False, True])
+def test_parity_deep_surfaces(force_sparse):
+    comp = compile_trie(build_trie(_deep_spec()))
+    vec = compile_vec(comp)
+    if force_sparse:
+        # exercise the searchsorted transition path large tries take
+        vec = dict(vec, trans_dense=None)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "zzz"]
+    rng = random.Random(11)
+    rows = [
+        {"conv_id": f"d{i}", "turn_idx": i,
+         "text": " ".join(rng.choice(words)
+                          for _ in range(rng.randrange(0, 30)))}
+        for i in range(2000)
+    ]
+    rows.append({"conv_id": "full", "turn_idx": 0,
+                 "text": " ".join(words[:11]) + " zzz " + " ".join(words[:9])})
+    a = scalar_tag(rows, comp, 1.0)
+    b = vec_tag(rows, vec, 1.0)
+    assert a == b
+    assert any(m[3] - m[2] >= 9 for m in a), "deep surfaces must match"
