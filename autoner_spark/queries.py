@@ -422,33 +422,18 @@ def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conv_id, turn_idx) shuffle. Hot surface PAIRS only meet at the final
     count aggregation, which is algebraic (map-side combined) — the
     skew-safe formulation."""
-    # Each turn's distinct mentioned-surface set is computed IN-ROW
-    # (candidate n-grams intersected with the literal dictionary array —
-    # 11 surfaces, a constant): the former explode -> broadcast-join ->
-    # groupBy(conv_id, turn_idx) re-collected what each row already held,
-    # paying a full mention-stream shuffle (r07: that Exchange is gone;
-    # the only remaining shuffle is the final algebraic pair count).
-    # Set-equality with the join form: a turn's mention surfaces ARE the
-    # candidate n-grams that appear in the dictionary.
-    t = transcripts_df(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    bis = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dict_arr = F.array(
-        *[F.lit(s) for s in sorted({s for _, s in KG_DICT_CORE})]
+    # r07 note: an in-row form (candidate n-grams intersected with the
+    # literal dictionary array, no mention shuffle) was tried and MEASURED
+    # SLOWER (2.45s vs 1.20s at sf0.1) — the higher-order transform over
+    # every token position evaluates interpreted, while this join+groupBy
+    # is whole-stage codegen with a mention-sized (not corpus-sized)
+    # shuffle — kept.
+    m = exact_mentions_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "surface"
     )
-    ss = F.array_sort(F.array_intersect(F.concat(toks, bis), dict_arr))
-    per_turn = t.select(
-        "conv_id", "turn_idx", ss.alias("ss")
-    ).filter(F.size("ss") >= 1)
+    per_turn = m.groupBy("conv_id", "turn_idx").agg(
+        F.array_sort(F.array_distinct(F.collect_list("surface"))).alias("ss")
+    )
     return (
         per_turn.select(F.explode("ss").alias("surface_a"), F.col("ss"))
         .select("surface_a", F.explode("ss").alias("surface_b"))

@@ -196,63 +196,29 @@ def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     and looping generations score high; documents shorter than n tokens
     yield no shingles and are absent (match with a left join if 0-rows are
     needed). Two algebraic aggregations, map-side combined — scale-safe."""
-    from .dedup import shingle_array
+    from .dedup import shingles_df
 
-    # Per-document shingle multiplicities are computed IN-ROW (sort the
-    # doc's own shingle array, then one run-length aggregate over it):
-    # a document's shingles live in its row already, so the former
-    # explode -> groupBy(id, shingle) -> groupBy(id) pipeline shuffled the
-    # whole shingle-occurrence stream twice to count within-row duplicates
-    # (r07: both Exchanges removed — the operator is now map-only). The
-    # run-length pass is O(k log k) per doc (array_sort), never quadratic
-    # in document length.
-    zero = F.lit(0).cast("long")
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_sort(shingle_array(n, text_col)).alias("_sh"),
-    ).filter(F.size("_sh") >= 1)
-
-    def _step(acc, x):
-        same = x == acc["prev"]
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.when(same, acc["maxr"])
-            .otherwise(F.greatest(acc["maxr"], acc["run"])).alias("maxr"),
-            F.when(same, acc["dup"])
-            .otherwise(
-                acc["dup"]
-                + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
-            ).alias("dup"),
-        )
-
-    st = F.aggregate(
-        F.col("_sh"),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            zero.alias("run"), zero.alias("maxr"), zero.alias("dup"),
-        ),
-        _step,
-        lambda acc: F.struct(
-            F.greatest(acc["maxr"], acc["run"]).alias("maxr"),
-            (acc["dup"]
-             + F.when(acc["run"] > 1, acc["run"]).otherwise(zero))
-            .alias("dup"),
-        ),
+    # r07 note: an in-row sort + run-length-aggregate form (zero shuffles)
+    # was tried and MEASURED SLOWER (1.68s vs 0.89s at sf0.1): Spark's
+    # higher-order aggregate() with a struct accumulator evaluates
+    # interpreted per element, and the two aggregations below are algebraic
+    # map-side-combined shuffles of per-doc-bounded groups — kept.
+    per = (
+        shingles_df(docs, n, id_col, text_col, distinct=False)
+        .groupBy("id", "shingle")
+        .agg(F.count("*").alias("c"))
     )
-    agg = base.select(
-        "id",
-        F.size("_sh").cast("long").alias("_tot"),
-        st["maxr"].alias("_maxr"),
-        st["dup"].alias("_dup"),
+    agg = per.groupBy("id").agg(
+        F.sum("c").alias("_tot"),
+        F.max("c").cast("int").alias("max_repeat"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
     )
     # integer HALF_UP ppm then exact /1e6 (r06 money sweep): dup/tot is a
     # rational that can sit exactly on a 6dp half across engines
     return agg.select(
         "id",
         F.col("_tot").cast("int").alias("n_shingles"),
-        F.col("_maxr").cast("int").alias("max_repeat"),
+        "max_repeat",
         (half_up_scaled("_dup", "_tot", 1_000_000)
          / F.lit(1000000.0)).alias("rep_ratio"),
     )
