@@ -5224,10 +5224,12 @@ def q_rel_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     The supplier join is unhinted: supplier grows with sf (AQE promotes
     it when runtime stats say it fits — the r04 broadcast discipline);
     the per-supplier aggregate side is already grouped small."""
-    # load_parallel: the fact scan feeds two per-row-heavy aggregation
-    # passes; at test scale the single-row-group file would pin both to
-    # one core (r07 — the guard is a structural no-op at production scale)
-    li = load_parallel(spark, sf_dir, "lineitem").select(
+    # r07 note: routing the scan through load_parallel was tried and
+    # MEASURED SLOWER (3.05s vs 1.77s at sf0.1) — the repartition of the
+    # narrow 3-column fact costs more than the single-row-group scan it
+    # parallelizes, because the partial aggregates behind both consumers
+    # are already map-side-combined. Kept on the plain scan.
+    li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     per = li.groupBy("l_orderkey").agg(
