@@ -206,6 +206,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    id_unique: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram Jaccard >= threshold.
 
@@ -226,7 +227,7 @@ def ngram_jaccard_pairs(
     a ubiquitous boilerplate shingle spills through WindowExec and is
     dropped without ever materializing its full id array in one row.
     ``ngram_jaccard_drop_stats`` reports what the cap discarded."""
-    sh = shingles_df(docs, n, id_col, text_col)
+    sh = shingles_df(docs, n, id_col, text_col, id_unique=id_unique)
     if max_shingle_df:
         sh = _cap_group_size(sh, ["shingle"], max_shingle_df)
     from .caching import persist_tracked
@@ -350,6 +351,7 @@ def ngram_jaccard_prefix_pairs(
     max_shingle_df: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    id_unique: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, jaccard): EXACTLY ngram_jaccard_pairs' output via
     prefix filtering (Bayardo et al. WWW'07 AllPairs / PPJoin prefix):
@@ -380,7 +382,7 @@ def ngram_jaccard_prefix_pairs(
     (pytest + shared gate twin)."""
     from .caching import persist_tracked
 
-    sh0 = shingles_df(docs, n, id_col, text_col)
+    sh0 = shingles_df(docs, n, id_col, text_col, id_unique=id_unique)
     if max_shingle_df:
         sh0 = _cap_group_size(sh0, ["shingle"], max_shingle_df)
     sh = persist_tracked(sh0)
@@ -467,6 +469,7 @@ def ngram_jaccard_drop_stats(
     docs: DataFrame,
     n: int = 3,
     max_shingle_df: int = 1000,
+    id_unique: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -642,6 +645,7 @@ def minhash_verified_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    id_unique: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, jaccard): MinHash-LSH candidates VERIFIED with the
     exact n-gram Jaccard — the standard production composition: LSH bounds
@@ -667,7 +671,7 @@ def minhash_verified_pairs(
     ).select("id_a", "id_b")
     # three consumers (sizes + both join sides) — persist the distinct
     # shingle relation so the tokenize/explode/distinct lineage runs once
-    sh = shingles_df(docs, n, id_col, text_col)
+    sh = shingles_df(docs, n, id_col, text_col, id_unique=id_unique)
     if max_shingle_df:
         sh = _cap_group_size(sh, ["shingle"], max_shingle_df)
     sh = persist_tracked(sh)
@@ -907,6 +911,7 @@ def estimate_candidate_pair_mass(
     max_shingle_df: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    id_unique: bool = True,
 ) -> int:
     """sum over retained shingles of C(df, 2): the exact number of
     candidate-pair rows ``ngram_jaccard_pairs`` will explode. One
@@ -917,7 +922,7 @@ def estimate_candidate_pair_mass(
     drops whole groups above the cap) without its corpus-wide WindowExec
     sort, since only the per-shingle df matters here."""
     dfr = (
-        shingles_df(docs, n, id_col, text_col)
+        shingles_df(docs, n, id_col, text_col, id_unique=id_unique)
         .groupBy("shingle").agg(F.count("*").alias("df"))
     )
     if max_shingle_df:

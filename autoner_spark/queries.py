@@ -342,26 +342,12 @@ def q_kg_triples_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     linked = m.join(comp, "surface").withColumn(
         "subj", F.concat(F.lit("ent:"), F.col("component"))
     )
-    # both triple kinds from ONE pass over the cached mentions (per-row
-    # (pred, obj) array exploded) instead of a two-select union that read
-    # the cache twice (r07); row multiset identical
-    pairs = F.concat(
-        F.transform(
-            F.split("entity_type", ","),
-            lambda t: F.struct(
-                F.lit("has_type").alias("pred"), t.alias("obj")
-            ),
-        ),
-        F.array(F.struct(
-            F.lit("mentioned_in").alias("pred"),
-            F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
-            .alias("obj"),
-        )),
-    )
-    return linked.select(
-        "subj", F.explode(pairs).alias("p"), "conv_id", "turn_idx"
-    ).select("subj", F.col("p.pred").alias("pred"),
-             F.col("p.obj").alias("obj"), "conv_id", "turn_idx")
+    # both triple kinds from ONE pass over the cached mentions (shared
+    # single-pass emitter) instead of a two-select union that read the
+    # cache twice (r07); row multiset identical
+    from .triples import explode_triple_pairs
+
+    return explode_triple_pairs(linked)
 
 
 SQL_KG_TRIPLES_EXACT = f"""

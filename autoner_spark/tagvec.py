@@ -111,10 +111,14 @@ def compile_vec(compiled: dict[str, Any]) -> dict[str, Any]:
                 if idx == 0:
                     if 0 <= tid < V:
                         root_trans[tid] = cidx
-                    # negative tid (remapped "\n") can never be produced by
-                    # the token mapper, matching the scalar break-before-
-                    # descend rule
-                else:
+                    # out-of-range tid (a "\n" edge whose intern id was
+                    # remapped away) can never be produced by the token
+                    # mapper, matching the scalar break-before-descend rule
+                elif 0 <= tid < V:
+                    # same guard for non-root edges: an out-of-range tid
+                    # packed as idx*V + tid would alias into state idx+1's
+                    # key space and create a PHANTOM transition (r07
+                    # review finding, repro in test_tagvec_parity)
                     tkeys.append(idx * V + tid)
                     tvals.append(cidx)
         idx += 1
@@ -315,12 +319,18 @@ def _dp_segments(
 
     f = np.empty((n, maxlen + 1), order="F")
     f[:, 0] = 0.0
-    # per-cell winner: tb_d = 0 for the skip / d for a match (int64 so
-    # traceback gathers feed arithmetic without astype); tb_idx = the
-    # winning MATCH INDEX, through which kind/ts resolve at traceback
-    # time (no per-match kind/ts permutation in the setup)
-    tb_d = np.empty((n, maxlen + 1), dtype=np.int64, order="F")
-    tb_idx = np.empty((n, maxlen + 1), dtype=np.int64, order="F")
+    # per-cell winner: tb_d = 0 for the skip / d for a match; tb_idx =
+    # the winning MATCH INDEX, through which kind/ts resolve at
+    # traceback time (no per-match kind/ts permutation in the setup).
+    # Narrow dtypes (depth fits int8, match index int32) keep the three
+    # per-cell tables at 13 bytes/cell instead of 24; the traceback
+    # widens only its small gathered slices.
+    tb_d = np.empty(
+        (n, maxlen + 1),
+        dtype=np.int8 if D <= 127 else np.int16,
+        order="F",
+    )
+    tb_idx = np.empty((n, maxlen + 1), dtype=np.int32, order="F")
 
     f_flat = f.T.reshape(-1)  # view over f; flat index = col * n + row
     for c in range(1, maxlen + 1):
@@ -372,7 +382,7 @@ def _dp_segments(
     rows = np.flatnonzero(j > 0)
     while rows.size:
         jr = j[rows]
-        dsel = tb_d[rows, jr]
+        dsel = tb_d[rows, jr].astype(np.int64)
         step = np.maximum(dsel, 1)
         ii = jr - step
         em = np.flatnonzero(dsel > 0)

@@ -95,6 +95,42 @@ def canonical_entities(linked: DataFrame) -> DataFrame:
     )
 
 
+def triple_pair_array() -> "F.Column":
+    """Per-row (pred, obj) struct array for the two triple kinds — one
+    has_type entry per comma-joined type plus one mentioned_in entry —
+    shared by ``assemble_triples`` and the exact-match twin in
+    queries.q_kg_triples_exact so the single-pass emission stays in one
+    place. Requires non-null entity_type/conv_id/turn_idx columns (the
+    mention contract)."""
+    return F.concat(
+        F.transform(
+            F.split(F.col("entity_type"), ","),
+            lambda t: F.struct(
+                F.lit("has_type").alias("pred"), t.alias("obj")
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.lit("mentioned_in").alias("pred"),
+                F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+                .alias("obj"),
+            )
+        ),
+    )
+
+
+def explode_triple_pairs(m: DataFrame) -> DataFrame:
+    """One pass over a subj-carrying mention relation -> (subj, pred, obj,
+    conv_id, turn_idx); multiset-identical to the former
+    has_type UNION ALL mentioned_in two-select form, without the second
+    scan of the (usually cached) mention relation."""
+    return m.select(
+        "subj", F.explode(triple_pair_array()).alias("p"),
+        "conv_id", "turn_idx",
+    ).select("subj", F.col("p.pred").alias("pred"),
+             F.col("p.obj").alias("obj"), "conv_id", "turn_idx")
+
+
 def assemble_triples(linked: DataFrame, entities: DataFrame) -> DataFrame:
     """Materialize (subj, pred, obj, conv_id, turn_idx).
 
@@ -111,25 +147,7 @@ def assemble_triples(linked: DataFrame, entities: DataFrame) -> DataFrame:
     # the second full cache scan was the triples stage's dominant cost
     # (r07). Row multiset is identical to the former
     # has_type UNION ALL mentioned_in.
-    pairs = F.concat(
-        F.transform(
-            F.split(F.col("entity_type"), ","),
-            lambda t: F.struct(
-                F.lit("has_type").alias("pred"), t.alias("obj")
-            ),
-        ),
-        F.array(
-            F.struct(
-                F.lit("mentioned_in").alias("pred"),
-                F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
-                .alias("obj"),
-            )
-        ),
-    )
-    return m.select(
-        "subj", F.explode(pairs).alias("p"), "conv_id", "turn_idx"
-    ).select("subj", F.col("p.pred").alias("pred"),
-             F.col("p.obj").alias("obj"), "conv_id", "turn_idx")
+    return explode_triple_pairs(m)
 
 
 def build_kg(spark, transcripts: DataFrame, spec: DictionarySpec,

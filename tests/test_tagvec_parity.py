@@ -110,6 +110,30 @@ def test_empty_batch():
     assert vec_tag([], vec, 1.0) == []
 
 
+def test_newline_trie_edge_stays_unreachable():
+    """A dict surface containing a mid-surface "\\n" token builds a trie
+    edge whose intern id is remapped away (vocab["\\n"] = NEWLINE_ID); the
+    packed (state, token) key of that edge must NOT alias into the next
+    state's key space (r07 review finding: the phantom transition made
+    the batch engine emit mentions the scalar/reference tagger never
+    produces)."""
+    from autoner_spark.dictionary import DictionarySpec
+
+    spec = DictionarySpec(
+        core=[("T", "8 9 6"), ("T", "7 \n 6"), ("T", "9 6")],
+        full=[], stopwords=[],
+    )
+    comp = compile_trie(build_trie(spec))
+    vec = compile_vec(comp)
+    rows = [
+        {"conv_id": "p", "turn_idx": 0, "text": "9 8 6"},
+        {"conv_id": "p", "turn_idx": 1, "text": "8 9 6"},
+        {"conv_id": "p", "turn_idx": 2, "text": "9 6"},
+        {"conv_id": "p", "turn_idx": 3, "text": "7 6"},
+    ]
+    assert vec_tag(rows, vec, 1.0) == scalar_tag(rows, comp, 1.0)
+
+
 def _deep_spec():
     """Dictionary with >7-token surfaces: exercises depth fields beyond a
     3-bit packing (the BC5CDR regression class) and nested prefixes."""
